@@ -1,0 +1,55 @@
+"""Distillation losses shared by the teacher-student baselines.
+
+* kd_kl_loss    — temperature KD: KL(softmax(t/T) || softmax(s/T)) * T^2,
+                  the DistillKL used by SCRUB (baselines/SCRUBtrain.py) and
+                  the class-slice KD of LIRF (baselines/LIRFtrain.py).
+* lwf_kd_loss   — LwF's custom soft-target loss with temperature *power*
+                  (baselines/Lwftrain.py:12-27 L_old_kd_loss).
+* logit_l2_loss — FDR's row-wise L2 between student/teacher logits
+                  (baselines/FDRtrain.py:17) and DER's embedding/logit MSE
+                  (baselines/DERtrain.py:12-16).
+* attention_transfer_loss — LIRF's AT loss over token maps
+                  (baselines/LIRFtrain.py:17-40).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def kd_kl_loss(student_logits, teacher_logits, T: float) -> jax.Array:
+    """KL(teacher || student) with temperature, scaled by T^2, batchmean."""
+    s = jax.nn.log_softmax(student_logits.astype(jnp.float32) / T, axis=1)
+    t = jax.nn.softmax(teacher_logits.astype(jnp.float32) / T, axis=1)
+    kl = jnp.sum(t * (jnp.log(jnp.clip(t, 1e-12)) - s), axis=1)
+    return jnp.mean(kl) * (T ** 2)
+
+
+def lwf_kd_loss(student_logits, teacher_logits, T: float) -> jax.Array:
+    """LwF soft-target loss (Lwftrain.py:12-27): softmaxes raised to 1/T and
+    renormalized, then -mean(sum(t' * log s')). Reproduces the reference's
+    nan-scrub by clipping the log argument."""
+    s = jax.nn.softmax(student_logits.astype(jnp.float32), axis=1)
+    t = jax.nn.softmax(teacher_logits.astype(jnp.float32), axis=1)
+    s = s ** (1.0 / T)
+    t = t ** (1.0 / T)
+    s = s / jnp.sum(s, axis=1, keepdims=True)
+    t = t / jnp.sum(t, axis=1, keepdims=True)
+    return -jnp.mean(jnp.sum(t * jnp.log(jnp.clip(s, 1e-12)), axis=1))
+
+
+def logit_l2_loss(student, teacher) -> jax.Array:
+    """Mean squared difference (DERtrain.py:12-16 / FDRtrain.py:17)."""
+    return jnp.mean((student.astype(jnp.float32) -
+                     teacher.astype(jnp.float32)) ** 2)
+
+
+def attention_transfer_loss(student_tokens, teacher_tokens) -> jax.Array:
+    """LIRF attention transfer (LIRFtrain.py:17-40): normalized squared
+    token-activation maps, L2 between student and teacher."""
+    def at_map(x):
+        x = x.astype(jnp.float32)
+        a = jnp.mean(x ** 2, axis=-1)  # (B, N) activation energy per token
+        return a / jnp.maximum(
+            jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+    return jnp.mean((at_map(student_tokens) - at_map(teacher_tokens)) ** 2)

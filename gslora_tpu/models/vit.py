@@ -1,0 +1,296 @@
+"""Scanned face Vision Transformer with stacked LoRA — TPU-native.
+
+Functional re-design of the reference backbones (vit_face.py:449-548
+``ViT_face``, vits_face.py:409-509 ``ViTs_face``): pre-norm transformer,
+learnable pos-embed + CLS, LayerNorm "mlp_head" on the CLS token, margin
+head on top. Differences from the reference that matter on TPU:
+
+* all L blocks' parameters are **stacked on a leading layer axis** and the
+  depth loop is one ``jax.lax.scan`` — one trace/compile regardless of
+  depth, and LoRA group operations become layer-axis reductions;
+* parameters are plain pytrees; train/eval is a flag, dropout RNG is
+  explicit; LoRA is held in a separate subtree (see gslora_tpu.lora.core)
+  and applied functionally — never merged statefully;
+* matmuls run in a configurable compute dtype (bf16 on TPU → MXU),
+  LayerNorm / softmax / heads in fp32.
+
+Exact reference semantics kept for parity: GELU is the erf form (torch
+nn.GELU default, NOT jax.nn.gelu's tanh approximation); patchify token
+layout is (p1 p2 c) for the hard split (vit_face.py:530) and channel-major
+(c kh kw) for the unfold soft split (vits_face.py:446-450); attention
+scale is dim**-0.5 (NOT dim_head**-0.5 — reference vit_face.py:346 quirk).
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+
+from gslora_tpu.config import LoraConfig, ViTConfig
+from gslora_tpu.lora.core import init_lora, lora_delta
+from gslora_tpu.models.heads import apply_head
+from gslora_tpu.utils.inits import kaiming_uniform, lecun_linear_bias, \
+    xavier_normal, xavier_uniform
+
+Params = Dict
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _linear_init(key, fan_in: int, fan_out: int, dtype, bias: bool = True):
+    """torch nn.Linear default init; kernel stored (fan_in, fan_out)."""
+    kw, kb = jax.random.split(key)
+    w = kaiming_uniform(kw, (fan_out, fan_in), a=math.sqrt(5), dtype=dtype).T
+    p = {"kernel": w}
+    if bias:
+        p["bias"] = lecun_linear_bias(kb, fan_in, (fan_out,), dtype)
+    return p
+
+
+def _stack_linears(key, depth, fan_in, fan_out, dtype, bias=True):
+    keys = jax.random.split(key, depth)
+    ps = [_linear_init(k, fan_in, fan_out, dtype, bias) for k in keys]
+    out = {"kernel": jnp.stack([p["kernel"] for p in ps])}
+    if bias:
+        out["bias"] = jnp.stack([p["bias"] for p in ps])
+    return out
+
+
+def init_vit_params(key, model: ViTConfig, lora: Optional[LoraConfig] = None,
+                    param_dtype=jnp.float32) -> Params:
+    """Build {"base": ..., "lora": ...} pytree for the ViT backbone."""
+    d, L, m, inner = model.dim, model.depth, model.mlp_dim, model.inner_dim
+    ks = jax.random.split(key, 12)
+    dt = param_dtype
+
+    blocks = {
+        "attn_ln": {"scale": jnp.ones((L, d), dt), "bias": jnp.zeros((L, d), dt)},
+        "qkv": _stack_linears(ks[0], L, d, 3 * inner, dt, bias=False),
+        "attn_out": _stack_linears(ks[1], L, inner, d, dt),
+        "ffn_ln": {"scale": jnp.ones((L, d), dt), "bias": jnp.zeros((L, d), dt)},
+        "fc1": _stack_linears(ks[2], L, d, m, dt),
+        "fc2": _stack_linears(ks[3], L, m, d, dt),
+    }
+    base = {
+        "patch": _linear_init(ks[4], model.patch_dim, d, dt),
+        "cls_token": jax.random.normal(ks[5], (d,), dt),
+        "pos_embed": jax.random.normal(ks[6], (model.seq_len, d), dt),
+        "blocks": blocks,
+        "head_ln": {"scale": jnp.ones((d,), dt), "bias": jnp.zeros((d,), dt)},
+    }
+    if model.head_type != "None":
+        C = model.num_class
+        if model.head_type == "Softmax":
+            base["head"] = {
+                "weight": xavier_uniform(ks[7], (C, d), dtype=dt),
+                "bias": jnp.zeros((C,), dt),
+            }
+        elif model.head_type == "SFace":
+            base["head"] = {"weight": xavier_normal(ks[7], (C, d), gain=2.0,
+                                                    dtype=dt)}
+        else:  # CosFace / ArcFace: xavier uniform (vit_face.py:169,98)
+            base["head"] = {"weight": xavier_uniform(ks[7], (C, d), dtype=dt)}
+
+    lora_tree = init_lora(ks[8], model, lora, dtype=jnp.float32) \
+        if (lora is not None and lora.rank > 0) else {}
+    return {"base": base, "lora": lora_tree}
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                eps: float = 1e-5) -> jax.Array:
+    """LayerNorm in fp32 (torch nn.LayerNorm eps=1e-5)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def _dropout(x: jax.Array, rate: float, rng, deterministic: bool) -> jax.Array:
+    if deterministic or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def patchify(images: jax.Array, model: ViTConfig) -> jax.Array:
+    """(B, C, H, W) -> (B, N, patch_dim) tokens.
+
+    Hard split (ViT_face, vit_face.py:530): token layout (p1 p2 c).
+    Soft split (ViTs_face, vits_face.py:446-450): overlapping unfold,
+    channel-major (c kh kw) layout — implemented with
+    conv_general_dilated_patches which emits the same ordering.
+    """
+    if model.soft_split:
+        patches = jax.lax.conv_general_dilated_patches(
+            images,
+            filter_shape=(model.ac_patch_size, model.ac_patch_size),
+            window_strides=(model.patch_size, model.patch_size),
+            padding=[(model.pad, model.pad), (model.pad, model.pad)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )  # (B, C*k*k, h, w), feature dim ordered (c, kh, kw) like nn.Unfold
+        return rearrange(patches, "b f h w -> b (h w) f")
+    p = model.patch_size
+    return rearrange(images, "b c (h p1) (w p2) -> b (h w) (p1 p2 c)",
+                     p1=p, p2=p)
+
+
+def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
+                     rngs, deterministic: bool):
+    """Pre-norm MHA with residual (vit_face.py:341-379)."""
+    cdt = x.dtype
+    h = _layer_norm(x, blk["attn_ln"]["scale"], blk["attn_ln"]["bias"])
+    h = h.astype(cdt)
+    qkv = jnp.einsum("bnd,df->bnf", h, blk["qkv"]["kernel"].astype(cdt))
+    if lora_blk is not None and "attn" in lora_blk:
+        A, B = lora_blk["attn"]["A"], lora_blk["attn"]["B"]  # (3,r,d),(3,o,r)
+        deltas = [lora_delta(h, A[c], B[c], scaling) for c in range(3)]
+        qkv = qkv + jnp.concatenate(deltas, axis=-1)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    hd = model.dim_head
+    q = rearrange(q, "b n (h d) -> b h n d", d=hd)
+    k = rearrange(k, "b n (h d) -> b h n d", d=hd)
+    v = rearrange(v, "b n (h d) -> b h n d", d=hd)
+    # reference scale quirk: dim**-0.5, not dim_head**-0.5 (vit_face.py:346)
+    scale = model.dim ** -0.5
+    dots = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+    attn = jax.nn.softmax(dots.astype(jnp.float32), axis=-1).astype(cdt)
+    out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+    out = rearrange(out, "b h n d -> b n (h d)")
+    out = jnp.einsum("bni,id->bnd", out, blk["attn_out"]["kernel"].astype(cdt))
+    out = out + blk["attn_out"]["bias"].astype(cdt)
+    out = _dropout(out, model.dropout, rngs[0] if rngs is not None else None,
+                   deterministic)
+    return x + out
+
+
+def _ffn_block(x, blk, lora_blk, model: ViTConfig, scaling: float, rngs,
+               deterministic: bool):
+    """Pre-norm LoRA-FFN with residual (vit_face.py:326-338): where the
+    GS-LoRA trainable parameters live."""
+    cdt = x.dtype
+    h = _layer_norm(x, blk["ffn_ln"]["scale"], blk["ffn_ln"]["bias"])
+    h = h.astype(cdt)
+    u = jnp.einsum("bnd,dm->bnm", h, blk["fc1"]["kernel"].astype(cdt))
+    u = u + blk["fc1"]["bias"].astype(cdt)
+    if lora_blk is not None and "ffn" in lora_blk:
+        u = u + lora_delta(h, lora_blk["ffn"]["A1"], lora_blk["ffn"]["B1"],
+                           scaling)
+    u = jax.nn.gelu(u.astype(jnp.float32), approximate=False).astype(cdt)
+    u = _dropout(u, model.dropout, rngs[1] if rngs is not None else None,
+                 deterministic)
+    y = jnp.einsum("bnm,md->bnd", u, blk["fc2"]["kernel"].astype(cdt))
+    y = y + blk["fc2"]["bias"].astype(cdt)
+    if lora_blk is not None and "ffn" in lora_blk:
+        y = y + lora_delta(u, lora_blk["ffn"]["A2"], lora_blk["ffn"]["B2"],
+                           scaling)
+    y = _dropout(y, model.dropout, rngs[2] if rngs is not None else None,
+                 deterministic)
+    return x + y
+
+
+def transformer_stack(x: jax.Array, blocks: Params, lora_tree: Params,
+                      model: ViTConfig, scaling: float, rng,
+                      deterministic: bool,
+                      layer_range: Optional[Tuple[int, int]] = None
+                      ) -> jax.Array:
+    """Apply the (stacked) transformer blocks with one lax.scan.
+
+    ``layer_range=(lo, hi)`` runs only blocks [lo, hi) — the LIRF low/up
+    split (vit_face.py:382-446 ``up=True`` path) expressed as slicing the
+    stacked params instead of model surgery.
+    """
+    L = model.depth
+    lo, hi = layer_range if layer_range is not None else (0, L)
+    blocks = jax.tree.map(lambda a: a[lo:hi], blocks)
+    lora_tree = jax.tree.map(lambda a: a[lo:hi], lora_tree) if lora_tree \
+        else {}
+    n_layers = hi - lo
+    if n_layers == 0:
+        return x
+
+    if rng is not None and not deterministic:
+        layer_rngs = jax.random.split(rng, n_layers * 3).reshape(n_layers, 3)
+    else:
+        layer_rngs = None
+
+    def body(carry, xs):
+        blk, lora_blk, rngs = xs
+        rngs = list(rngs) if rngs is not None else None
+        y = _attention_block(carry, blk, lora_blk, model, scaling, rngs,
+                             deterministic)
+        y = _ffn_block(y, blk, lora_blk, model, scaling, rngs, deterministic)
+        return y, None
+
+    xs = (blocks, lora_tree if lora_tree else None, layer_rngs)
+    # scan over the stacked layer axis: traces the block body once
+    x, _ = jax.lax.scan(body, x, xs, length=n_layers)
+    return x
+
+
+def vit_embed(params: Params, images: jax.Array, model: ViTConfig,
+              lora: LoraConfig, *, train: bool = False, rng=None,
+              compute_dtype=jnp.bfloat16,
+              layer_range: Optional[Tuple[int, int]] = None,
+              tokens_in: Optional[jax.Array] = None,
+              return_tokens: bool = False) -> jax.Array:
+    """Backbone forward -> post-LN CLS embedding (B, dim) in fp32.
+
+    ``tokens_in``/``return_tokens`` expose the token sequence boundary used
+    by the LIRF low/up split (vit_face.py:638-665, 755-781).
+    """
+    base = params["base"]
+    lora_tree = params.get("lora", {})
+    cdt = compute_dtype
+    deterministic = not train
+    r_emb = r_blocks = None
+    if rng is not None and train:
+        r_emb, r_blocks = jax.random.split(rng)
+
+    if tokens_in is None:
+        x = patchify(images.astype(cdt), model)
+        x = jnp.einsum("bnf,fd->bnd", x, base["patch"]["kernel"].astype(cdt))
+        x = x + base["patch"]["bias"].astype(cdt)
+        b = x.shape[0]
+        cls = jnp.broadcast_to(base["cls_token"].astype(cdt),
+                               (b, 1, model.dim))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + base["pos_embed"].astype(cdt)[None, : x.shape[1]]
+        x = _dropout(x, model.emb_dropout, r_emb, deterministic)
+    else:
+        x = tokens_in.astype(cdt)
+
+    x = transformer_stack(x, base["blocks"], lora_tree, model, lora.scaling,
+                          r_blocks, deterministic, layer_range)
+    if return_tokens:
+        return x
+    pooled = x.mean(axis=1) if model.pool == "mean" else x[:, 0]
+    emb = _layer_norm(pooled, base["head_ln"]["scale"],
+                      base["head_ln"]["bias"])
+    return emb  # fp32
+
+
+def vit_apply(params: Params, images: jax.Array,
+              labels: Optional[jax.Array], model: ViTConfig,
+              lora: LoraConfig, *, train: bool = False, rng=None,
+              compute_dtype=jnp.bfloat16):
+    """Full forward. With labels: (logits, emb) like ViT_face.forward
+    (vit_face.py:523-548); without: emb only."""
+    emb = vit_embed(params, images, model, lora, train=train, rng=rng,
+                    compute_dtype=compute_dtype)
+    if labels is None or model.head_type == "None":
+        return emb
+    logits = apply_head(model.head_type, params["base"]["head"], emb, labels)
+    return logits, emb

@@ -1,0 +1,23 @@
+"""Test env: force an 8-device CPU platform so multi-chip sharding logic is
+exercised without TPU hardware (the TPU analogue of a fake backend —
+SURVEY.md §4).
+
+NOTE: this host's sitecustomize imports jax at interpreter start with
+JAX_PLATFORMS=axon (remote TPU tunnel), so env vars set here are too late —
+we must go through jax.config.update before any backend initializes.
+"""
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+assert jax.devices()[0].platform == "cpu"

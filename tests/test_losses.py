@@ -1,0 +1,114 @@
+"""Loss math parity vs torch re-derivations of the reference formulas."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gslora_tpu.losses.classification import (bounded_forget_loss,
+                                              cross_entropy, top1_accuracy)
+from gslora_tpu.losses.distillation import (attention_transfer_loss,
+                                            kd_kl_loss, logit_l2_loss,
+                                            lwf_kd_loss)
+from gslora_tpu.losses.prototype import hinged_prototype_losses, \
+    prototype_loss
+from gslora_tpu.losses.regularization import quadratic_penalty
+
+
+def test_cross_entropy_vs_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(0)
+    logits = rng.randn(8, 100).astype(np.float32)
+    labels = rng.randint(0, 100, 8)
+    ours = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+    want = float(torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits), torch.from_numpy(labels)))
+    assert abs(ours - want) < 1e-5
+
+
+def test_bounded_forget_loss_hinge():
+    logits = jnp.asarray(np.random.RandomState(1).randn(4, 10)
+                         .astype(np.float32))
+    labels = jnp.array([0, 1, 2, 3])
+    ce = float(cross_entropy(logits, labels))
+    assert abs(float(bounded_forget_loss(logits, labels, 110.0)) -
+               (110.0 - ce)) < 1e-5
+    # saturates at zero once CE clears the bound
+    assert float(bounded_forget_loss(logits, labels, 0.0)) == 0.0
+
+
+def test_prototype_kl_vs_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(2)
+    emb = rng.randn(6, 32).astype(np.float32)
+    protos = rng.randn(10, 32).astype(np.float32)
+    labels = rng.randint(0, 10, 6)
+    ours = float(prototype_loss(jnp.asarray(emb), jnp.asarray(labels),
+                                jnp.asarray(protos), "kl"))
+    # torch re-derivation of engine.py:690-722
+    te = torch.from_numpy(emb)
+    tp = torch.from_numpy(protos[labels])
+    want = float(torch.nn.functional.kl_div(
+        torch.nn.functional.log_softmax(te, dim=1),
+        torch.nn.functional.log_softmax(tp, dim=1),
+        reduction="batchmean", log_target=True))
+    assert abs(ours - want) < 1e-5
+
+    l2_ours = float(prototype_loss(jnp.asarray(emb), jnp.asarray(labels),
+                                   jnp.asarray(protos), "l2"))
+    l2_want = float(((emb - protos[labels]) ** 2).mean())
+    assert abs(l2_ours - l2_want) < 1e-5
+
+
+def test_hinged_prototype_combination():
+    rng = np.random.RandomState(3)
+    emb_f = jnp.asarray(rng.randn(4, 16).astype(np.float32))
+    emb_r = jnp.asarray(rng.randn(4, 16).astype(np.float32))
+    protos = jnp.asarray(rng.randn(5, 16).astype(np.float32))
+    yf, yr = jnp.array([0, 1, 2, 3]), jnp.array([4, 3, 2, 1])
+    total, hinge_f, lr = hinged_prototype_losses(
+        emb_f, yf, emb_r, yr, protos, w_forget=0.5, w_remain=0.1,
+        bnd_pro=18.0)
+    lf = float(prototype_loss(emb_f, yf, protos))
+    assert abs(float(hinge_f) - max(0.0, 18.0 - lf)) < 1e-5
+    assert abs(float(total) - (0.5 * float(hinge_f) + 0.1 * float(lr))) < 1e-5
+
+
+def test_kd_kl_vs_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(4)
+    s = rng.randn(8, 20).astype(np.float32)
+    t = rng.randn(8, 20).astype(np.float32)
+    T = 2.0
+    ours = float(kd_kl_loss(jnp.asarray(s), jnp.asarray(t), T))
+    # DistillKL: KLDiv(log_softmax(s/T), softmax(t/T)) * T^2 batchmean
+    want = float(torch.nn.functional.kl_div(
+        torch.nn.functional.log_softmax(torch.from_numpy(s) / T, dim=1),
+        torch.nn.functional.softmax(torch.from_numpy(t) / T, dim=1),
+        reduction="batchmean") * T * T)
+    assert abs(ours - want) < 1e-4
+
+
+def test_quadratic_penalty():
+    p = {"a": jnp.ones((3,)) * 2.0}
+    anchor = {"a": jnp.ones((3,))}
+    imp = {"a": jnp.ones((3,)) * 0.5}
+    got = float(quadratic_penalty(p, [anchor], [imp], 0.1))
+    assert abs(got - 0.1 * 3 * 0.5 * 1.0) < 1e-6
+
+
+def test_misc_losses_finite():
+    rng = np.random.RandomState(5)
+    s = jnp.asarray(rng.randn(4, 10).astype(np.float32))
+    t = jnp.asarray(rng.randn(4, 10).astype(np.float32))
+    assert np.isfinite(float(lwf_kd_loss(s, t, 2.0)))
+    assert float(logit_l2_loss(s, s)) == 0.0
+    tok_s = jnp.asarray(rng.randn(2, 5, 8).astype(np.float32))
+    tok_t = jnp.asarray(rng.randn(2, 5, 8).astype(np.float32))
+    assert float(attention_transfer_loss(tok_s, tok_s)) == 0.0
+    assert float(attention_transfer_loss(tok_s, tok_t)) > 0.0
+
+
+def test_top1_accuracy():
+    logits = jnp.asarray(np.eye(4, 10, dtype=np.float32) * 5.0)
+    assert float(top1_accuracy(logits, jnp.array([0, 1, 2, 3]))) == 100.0
+    assert float(top1_accuracy(logits, jnp.array([9, 9, 9, 9]))) == 0.0

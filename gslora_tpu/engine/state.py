@@ -1,0 +1,61 @@
+"""Train state: frozen base + trainable LoRA + optimizer state.
+
+The reference freezes via loralib ``mark_only_lora_as_trainable``
+(train_own_forget.py:650-651); here the optimizer simply only ever sees the
+``lora`` subtree — the base pytree is carried untouched through the step.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+from flax import struct
+
+from gslora_tpu.config import OptimConfig
+
+
+@struct.dataclass
+class ForgetState:
+    base: Any  # frozen backbone + head params
+    lora: Any  # trainable stacked LoRA tree
+    opt_state: Any
+    step: jax.Array  # int32 global step
+
+    @classmethod
+    def create(cls, params, optimizer) -> "ForgetState":
+        import jax.numpy as jnp
+        return cls(base=params["base"], lora=params["lora"],
+                   opt_state=optimizer.init(params["lora"]),
+                   step=jnp.int32(0))
+
+    @property
+    def params(self):
+        return {"base": self.base, "lora": self.lora}
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    """timm-style optimizer factory (util/args.py --opt; adamw default).
+    Wrapped in inject_hyperparams so the per-epoch LR (engine.schedule) can
+    be written into opt_state as a traced scalar — no recompiles."""
+    if cfg.opt == "adamw":
+        return optax.inject_hyperparams(optax.adamw)(
+            learning_rate=cfg.lr, b1=cfg.betas[0], b2=cfg.betas[1],
+            eps=cfg.opt_eps, weight_decay=cfg.weight_decay)
+    if cfg.opt == "adam":
+        return optax.inject_hyperparams(optax.adam)(
+            learning_rate=cfg.lr, b1=cfg.betas[0], b2=cfg.betas[1],
+            eps=cfg.opt_eps)
+    if cfg.opt == "sgd":
+        return optax.inject_hyperparams(optax.sgd)(
+            learning_rate=cfg.lr, momentum=cfg.momentum)
+    if cfg.opt == "rmsprop":
+        return optax.inject_hyperparams(optax.rmsprop)(
+            learning_rate=cfg.lr, momentum=cfg.momentum)
+    raise ValueError(f"unknown optimizer {cfg.opt}")
+
+
+def set_lr(opt_state, lr):
+    """Write a new learning rate into an inject_hyperparams opt state."""
+    opt_state.hyperparams["learning_rate"] = lr
+    return opt_state

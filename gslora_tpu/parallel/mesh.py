@@ -1,0 +1,68 @@
+"""Device mesh + sharding layout.
+
+TPU-native replacement for the reference's parallelism (SURVEY.md §2.10):
+``nn.DataParallel`` replicate/scatter/gather (train_own.py:403-406) becomes
+batch sharding over a ``data`` mesh axis — XLA all-reduces grads over ICI —
+and the hand-chunked model-parallel heads (vit_face.py:37-51) become a
+NamedSharding of the (num_class, dim) head weight over an optional ``model``
+axis; XLA partitions the head matmul + CE logsumexp with the right
+collectives automatically.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gslora_tpu.config import MeshConfig
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
+    cfg = cfg or MeshConfig()
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    model = max(cfg.model, 1)
+    data = cfg.data if cfg.data > 0 else n // model
+    assert data * model <= n, f"mesh {data}x{model} > {n} devices"
+    arr = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch dim sharded over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place host arrays with batch-dim sharding over ``data``."""
+    sh = batch_sharding(mesh)
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def param_shardings(mesh: Mesh, params, shard_head: bool = True):
+    """Replicate everything; optionally shard the classification head's
+    class dim over ``model`` (capability parity with the reference's
+    model-parallel heads)."""
+    replicated = NamedSharding(mesh, P())
+    head_sh = NamedSharding(mesh, P(MODEL_AXIS, None))
+
+    def place(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if shard_head and "head" in names and "weight" in names and \
+                leaf.ndim == 2 and mesh.shape[MODEL_AXIS] > 1:
+            return head_sh
+        return replicated
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def replicate(mesh: Mesh, tree):
+    """device_put a pytree with its param_shardings layout."""
+    sh = param_shardings(mesh, tree)
+    return jax.tree.map(jax.device_put, tree, sh)

@@ -1,0 +1,170 @@
+"""Engine: jitted forget step end-to-end on tiny shapes; EMA; schedule;
+8-device CPU mesh sharding."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gslora_tpu.config import (ForgetConfig, LoraConfig, OptimConfig,
+                               ViTConfig)
+from gslora_tpu.engine.ema import ema_init, ema_update, merged_params
+from gslora_tpu.engine.evaluate import h_mean, make_eval_step
+from gslora_tpu.engine.forget import make_forget_step
+from gslora_tpu.engine.schedule import timm_cosine_lr
+from gslora_tpu.engine.state import ForgetState, make_optimizer
+from gslora_tpu.lora.core import lora_group_norms
+from gslora_tpu.models.vit import init_vit_params, vit_apply
+from gslora_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+CFG = ViTConfig(image_size=16, patch_size=8, dim=32, depth=2, heads=2,
+                dim_head=16, mlp_dim=64, num_class=8, dropout=0.0,
+                emb_dropout=0.0)
+LORA = LoraConfig(rank=4)
+FCFG = ForgetConfig(bnd=30.0, beta=0.5, alpha=0.01, prototype=True,
+                    pro_f_weight=0.1, pro_r_weight=0.1, bnd_pro=18.0)
+
+
+def _setup(prototype=True):
+    params = init_vit_params(jax.random.key(0), CFG, LORA)
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-2))
+    state = ForgetState.create(params, opt)
+    fcfg = FCFG if prototype else ForgetConfig(bnd=30.0, beta=0.5,
+                                               alpha=0.01, prototype=False)
+    step = make_forget_step(CFG, LORA, fcfg, opt, compute_dtype=jnp.float32)
+    return state, step
+
+
+def _batches():
+    kx = jax.random.key(1)
+    xf = jax.random.normal(kx, (4, 3, 16, 16))
+    yf = jnp.array([0, 1, 0, 1])
+    xr = jax.random.normal(jax.random.key(2), (4, 3, 16, 16))
+    yr = jnp.array([2, 3, 4, 5])
+    protos = jax.random.normal(jax.random.key(3), (8, 32))
+    return xf, yf, xr, yr, protos
+
+
+SCALARS = {k: jnp.float32(v) for k, v in dict(
+    beta=0.5, alpha=0.01, lr=1e-2, bnd=30.0, bnd_pro=18.0, w_pro_f=0.1,
+    w_pro_r=0.1).items()}
+
+
+def test_forget_step_trains_only_lora():
+    state, step = _setup()
+    xf, yf, xr, yr, protos = _batches()
+    base_before = jax.tree.map(lambda a: np.asarray(a), state.base)
+    lora_before = jax.tree.map(lambda a: np.asarray(a), state.lora)
+    metrics = None
+    for i in range(3):
+        state, metrics = step(state, xf, yf, xr, yr, protos, SCALARS,
+                              jax.random.key(i))
+    # base frozen, lora changed
+    for a, b in zip(jax.tree.leaves(base_before), jax.tree.leaves(state.base)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    diffs = [np.abs(a - np.asarray(b)).max() for a, b in
+             zip(jax.tree.leaves(lora_before), jax.tree.leaves(state.lora))]
+    assert max(diffs) > 1e-6
+    assert int(state.step) == 3
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_forget_dynamics_move_losses_the_right_way():
+    """Forget CE should rise (bounded ascent), remain CE should fall."""
+    state, step = _setup(prototype=False)
+    xf, yf, xr, yr, protos = _batches()
+    sc = dict(SCALARS)
+    sc["w_pro_f"] = sc["w_pro_r"] = jnp.float32(0.0)
+    sc["bnd"] = jnp.float32(200.0)  # above initial CE so the hinge is live
+    first = last = None
+    for i in range(25):
+        state, m = step(state, xf, yf, xr, yr, protos, sc, jax.random.key(i))
+        if first is None:
+            first = {k: float(v) for k, v in m.items()}
+        last = {k: float(v) for k, v in m.items()}
+    assert last["loss_remain"] < first["loss_remain"]
+    # bounded forget loss shrinks as forget CE climbs toward BND
+    assert last["loss_forget"] < first["loss_forget"]
+
+
+def test_alpha_shrinks_group_norms():
+    state, step = _setup(prototype=False)
+    xf, yf, xr, yr, protos = _batches()
+    sc = dict(SCALARS)
+    sc.update(beta=jnp.float32(0.0), alpha=jnp.float32(10.0),
+              w_pro_f=jnp.float32(0.0), w_pro_r=jnp.float32(0.0))
+    # push some mass into lora first so norms are nonzero
+    warm = dict(sc)
+    warm.update(alpha=jnp.float32(0.0), beta=jnp.float32(0.5))
+    for i in range(5):
+        state, _ = step(state, xf, yf, xr, yr, protos, warm, jax.random.key(i))
+    n0 = sum(lora_group_norms(state.lora))
+    for i in range(10):
+        state, _ = step(state, xf, yf, xr, yr, protos, sc,
+                        jax.random.key(100 + i))
+    n1 = sum(lora_group_norms(state.lora))
+    assert n1 < n0
+
+
+def test_eval_step_and_hmean():
+    state, _ = _setup()
+    ev = make_eval_step(CFG, LORA, compute_dtype=jnp.float32)
+    xf, yf, *_ = _batches()
+    c, n = ev(state.params, xf, yf)
+    assert 0 <= int(c) <= int(n) == 4
+    assert h_mean(90.0, 10.0, 80.0) == 2 * 80 * 80 / 160
+    assert h_mean(90.0, 90.0, 0.0) == 0.0
+
+
+def test_merged_equals_functional_forward():
+    state, step = _setup()
+    xf, yf, xr, yr, protos = _batches()
+    for i in range(3):
+        state, _ = step(state, xf, yf, xr, yr, protos, SCALARS,
+                        jax.random.key(i))
+    m = merged_params(state.base, state.lora, LORA.scaling)
+    e_merged = vit_apply({"base": m, "lora": {}}, xf, None, CFG, LORA,
+                         compute_dtype=jnp.float32)
+    e_func = vit_apply(state.params, xf, None, CFG, LORA,
+                       compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(e_merged), np.asarray(e_func),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_ema_semantics():
+    state, _ = _setup()
+    ema = ema_init(state.base, state.lora, LORA.scaling)
+    # with no lora drift, ema_update is a fixed point
+    ema2 = ema_update(ema, state.base, state.lora, LORA.scaling, 0.9)
+    for a, b in zip(jax.tree.leaves(ema), jax.tree.leaves(ema2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-6)
+
+
+def test_schedule():
+    oc = OptimConfig(lr=1e-2, warmup_lr=1e-6, min_lr=1e-5, warmup_epochs=3,
+                     epochs=100)
+    assert abs(timm_cosine_lr(oc, 0) - 1e-6) < 1e-9
+    assert timm_cosine_lr(oc, 1) < timm_cosine_lr(oc, 2) < 1e-2
+    assert abs(timm_cosine_lr(oc, 100) - 1e-5) < 1e-9
+
+
+def test_step_on_8_device_mesh():
+    """DP over the forced 8-CPU-device mesh: params replicated, batch
+    sharded over the data axis."""
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    state, step = _setup()
+    xf, yf, xr, yr, protos = _batches()
+    # batch 8 so it splits evenly over 8 data shards
+    xf = jnp.tile(xf, (2, 1, 1, 1))
+    yf = jnp.tile(yf, (2,))
+    xr = jnp.tile(xr, (2, 1, 1, 1))
+    yr = jnp.tile(yr, (2,))
+    state = jax.device_put(state, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    xf, yf, xr, yr = shard_batch(mesh, xf, yf, xr, yr)
+    state2, metrics = step(state, xf, yf, xr, yr,
+                           replicate(mesh, protos), SCALARS,
+                           jax.random.key(0))
+    assert np.isfinite(float(metrics["loss_total"]))
+    assert int(state2.step) == 1

@@ -1,0 +1,143 @@
+"""Host-side dataset ingestion (replaces torchvision ImageFolder +
+mxnet recordio paths, image_iter.py).
+
+Datasets here are lightweight index structures: ``samples`` (path or array,
+label) pairs with ``targets``/``classes`` metadata — decode happens at batch
+assembly (pipeline.py), keeping the object cheap to split/subset the way
+the reference slices ImageFolders (util/utils.py:371-420).
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".webp")
+
+
+class Dataset:
+    """Minimal dataset protocol: samples [(source, label)], targets, classes,
+    class_to_idx, decode(idx) -> (C,H,W) float32."""
+
+    samples: List[Tuple]
+    targets: List[int]
+    classes: List[str]
+
+    def __len__(self):
+        return len(self.samples)
+
+
+class ImageFolderDataset(Dataset):
+    """Directory-of-class-dirs layout (torchvision ImageFolder semantics:
+    classes sorted lexicographically, labels = sorted index)."""
+
+    def __init__(self, root: str, image_size: int = 112,
+                 imagenet_eval: bool = False,
+                 class_order: Optional[Sequence[str]] = None):
+        self.root = root
+        self.image_size = image_size
+        self.imagenet_eval = imagenet_eval
+        classes = class_order if class_order is not None else sorted(
+            d for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d)))
+        self.classes = list(classes)
+        self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+        self.samples = []
+        for c in self.classes:
+            cdir = os.path.join(root, c)
+            if not os.path.isdir(cdir):
+                continue
+            for fn in sorted(os.listdir(cdir)):
+                if fn.lower().endswith(IMG_EXTS):
+                    self.samples.append((os.path.join(cdir, fn),
+                                         self.class_to_idx[c]))
+        self.targets = [label for _, label in self.samples]
+
+    def decode(self, idx: int) -> np.ndarray:
+        from PIL import Image
+        path, _ = self.samples[idx]
+        img = Image.open(path).convert("RGB")
+        if self.imagenet_eval:
+            img = _resize_short(img, 256)
+            img = _center_crop(img, 224)
+        arr = np.asarray(img, dtype=np.float32) / 255.0  # ToTensor
+        arr = arr.transpose(2, 0, 1)  # HWC -> CHW
+        if self.imagenet_eval:
+            mean = np.array([0.485, 0.456, 0.406], np.float32)[:, None, None]
+            std = np.array([0.229, 0.224, 0.225], np.float32)[:, None, None]
+            arr = (arr - mean) / std
+        return arr
+
+
+def _resize_short(img, size: int):
+    w, h = img.size
+    if w <= h:
+        nw, nh = size, max(1, round(h * size / w))
+    else:
+        nw, nh = max(1, round(w * size / h)), size
+    return img.resize((nw, nh))
+
+
+def _center_crop(img, size: int):
+    w, h = img.size
+    left = (w - size) // 2
+    top = (h - size) // 2
+    return img.crop((left, top, left + size, top + size))
+
+
+class ArrayDataset(Dataset):
+    """In-memory dataset over (N, C, H, W) float32 images — synthetic data,
+    tests, and pre-decoded caches."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray,
+                 classes: Optional[List[str]] = None):
+        self.images = images
+        self.labels = np.asarray(labels, dtype=np.int64)
+        self.samples = [(i, int(l)) for i, l in enumerate(self.labels)]
+        self.targets = [int(l) for l in self.labels]
+        n_cls = int(self.labels.max()) + 1 if len(self.labels) else 0
+        self.classes = classes or [str(i) for i in range(n_cls)]
+        self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+
+    def decode(self, idx: int) -> np.ndarray:
+        src, _ = self.samples[idx]
+        return self.images[src]
+
+
+class SubsetDataset(Dataset):
+    """Subset preserving targets/classes (image_iter.py:124-137
+    CustomSubset)."""
+
+    def __init__(self, parent: Dataset, indices: Sequence[int]):
+        self.parent = parent
+        self.indices = list(indices)
+        self.samples = [parent.samples[i] for i in self.indices]
+        self.targets = [parent.targets[i] for i in self.indices]
+        self.classes = parent.classes
+        self.class_to_idx = getattr(parent, "class_to_idx", {})
+
+    def decode(self, idx: int) -> np.ndarray:
+        return self.parent.decode(self.indices[idx])
+
+
+class RelabelDataset(Dataset):
+    """Random-relabel wrapper for the "forget by wrong label" baselines
+    (image_iter.py:89-121 CLDatasetWrapper): label -> (label + rand) % C,
+    never the original, fixed per sample by seed."""
+
+    def __init__(self, parent: Dataset, num_classes: int, seed: int = 0):
+        import random as pyrandom
+        rng = pyrandom.Random(seed)
+        self.parent = parent
+        self.samples = list(parent.samples)
+        self.targets = [
+            (t + rng.randint(1, num_classes - 1)) % num_classes
+            for t in parent.targets]
+        self.classes = parent.classes
+        self.class_to_idx = getattr(parent, "class_to_idx", {})
+        self.samples = [(s, nt) for (s, _), nt in
+                        zip(parent.samples, self.targets)]
+
+    def decode(self, idx: int) -> np.ndarray:
+        return self.parent.decode(idx)

@@ -1,0 +1,81 @@
+"""Continual class-window splits, few-shot / ratio subsets.
+
+Split parity with the reference is exact where it matters for accuracy
+comparison: the class order list uses the same python-random stream
+(random.seed(SEED); random.shuffle — train_own_forget.py:400-406), windows
+use the same [start, end) slicing, and labels keep their ORIGINAL global
+ids (the head stays 100-way throughout — util/utils.py:371-420).
+"""
+from __future__ import annotations
+
+import random as pyrandom
+from collections import defaultdict
+from typing import List, Sequence, Tuple
+
+from gslora_tpu.data.folders import Dataset, RelabelDataset, SubsetDataset
+
+
+def make_order_list(num_classes: int, seed: int = 1337) -> List[int]:
+    """Seeded shuffled class order (train_own_forget.py:400-406)."""
+    order = list(range(num_classes))
+    rng = pyrandom.Random()
+    rng.seed(seed)
+    rng.shuffle(order)
+    return order
+
+
+def split_by_class_window(dataset: Dataset, order_list: Sequence[int],
+                          s1: int, e1: int, s2: int, e2: int
+                          ) -> Tuple[SubsetDataset, SubsetDataset]:
+    """Two subsets whose classes are order_list[s1:e1] / order_list[s2:e2]
+    (util/utils.py:371-420 split_dataset). Labels keep global ids."""
+    w1 = set(order_list[s1:e1])
+    w2 = set(order_list[s2:e2])
+    idx1 = [i for i, t in enumerate(dataset.targets) if t in w1]
+    idx2 = [i for i, t in enumerate(dataset.targets) if t in w2]
+    return SubsetDataset(dataset, idx1), SubsetDataset(dataset, idx2)
+
+
+def task_windows(num_of_first_cls: int, per_forget_cls: int, task: int
+                 ) -> Tuple[int, int, int, int]:
+    """CL window arithmetic (train_own_forget_cl.py:539-542): at task i the
+    remain window is [0, first - i*per) and the forget window is
+    [first - i*per, first - (i-1)*per) ... matching en1 = first - i*per.
+
+    Returns (remain_start, remain_end, forget_start, forget_end)."""
+    en1 = num_of_first_cls - task * per_forget_cls
+    return 0, en1, en1, en1 + per_forget_cls
+
+
+def few_shot_subset(dataset: Dataset, n_shot: int, seed: int | None = None
+                    ) -> SubsetDataset:
+    """n_shot samples per class via the reference's python-random protocol
+    (util/utils.py:457-496: random.sample per class, then shuffle)."""
+    if seed is not None:
+        pyrandom.seed(seed)
+    by_class = defaultdict(list)
+    for i, t in enumerate(dataset.targets):
+        by_class[t].append(i)
+    chosen: List[int] = []
+    for cls, idxs in by_class.items():
+        if len(idxs) < n_shot:
+            raise ValueError(f"Class {cls} has fewer samples than {n_shot}.")
+        chosen.extend(pyrandom.sample(idxs, n_shot))
+    pyrandom.shuffle(chosen)
+    return SubsetDataset(dataset, chosen)
+
+
+def ratio_subset(dataset: Dataset, ratio: float, seed: int = 0
+                 ) -> SubsetDataset:
+    """Random fraction of the dataset (train_own_forget.py:479-490
+    torch.randperm[:k]; we use numpy permutation with the given seed)."""
+    import numpy as np
+    k = int(len(dataset) * ratio)
+    perm = np.random.RandomState(seed).permutation(len(dataset))[:k]
+    return SubsetDataset(dataset, perm.tolist())
+
+
+def random_relabel(dataset: Dataset, num_classes: int,
+                   seed: int = 0) -> RelabelDataset:
+    """Forget-by-wrong-label wrapper for the baseline family."""
+    return RelabelDataset(dataset, num_classes, seed)

@@ -1,0 +1,112 @@
+"""Data layer: order-list/splits parity with the reference protocol,
+few-shot, relabel, loaders, synthetic datasets."""
+import numpy as np
+import pytest
+
+from gslora_tpu.data.folders import ArrayDataset, SubsetDataset
+from gslora_tpu.data.pipeline import BatchLoader, CyclingLoader
+from gslora_tpu.data.splits import (few_shot_subset, make_order_list,
+                                    random_relabel, ratio_subset,
+                                    split_by_class_window, task_windows)
+from gslora_tpu.data.synthetic import synthetic_face_dataset
+
+
+def test_order_list_matches_reference_rng_protocol():
+    """Same python-random stream as train_own_forget.py:400-406."""
+    import random
+    order = make_order_list(100, seed=1337)
+    want = list(range(100))
+    random.seed(1337)
+    random.shuffle(want)
+    assert order == want
+    assert sorted(order) == list(range(100))
+
+
+def test_split_by_class_window_keeps_global_labels():
+    ds = synthetic_face_dataset(num_classes=10, per_class=4)
+    order = make_order_list(10, seed=1337)
+    remain, forget = split_by_class_window(ds, order, 0, 8, 8, 10)
+    assert len(remain) == 8 * 4 and len(forget) == 2 * 4
+    assert set(remain.targets) == set(order[:8])
+    assert set(forget.targets) == set(order[8:10])
+    # labels are original global ids, not remapped
+    assert max(remain.targets + forget.targets) <= 9
+
+
+def test_task_windows_match_cl_arithmetic():
+    # train_own_forget_cl.py:539-542 with first=80, per=20
+    assert task_windows(80, 20, 0) == (0, 80, 80, 100)
+    assert task_windows(80, 20, 1) == (0, 60, 60, 80)
+    assert task_windows(80, 20, 3) == (0, 20, 20, 40)
+
+
+def test_few_shot_subset():
+    ds = synthetic_face_dataset(num_classes=5, per_class=10)
+    sub = few_shot_subset(ds, 4, seed=0)
+    assert len(sub) == 20
+    counts = {}
+    for t in sub.targets:
+        counts[t] = counts.get(t, 0) + 1
+    assert all(v == 4 for v in counts.values())
+    with pytest.raises(ValueError):
+        few_shot_subset(ds, 11)
+
+
+def test_ratio_subset_and_relabel():
+    ds = synthetic_face_dataset(num_classes=5, per_class=10)
+    sub = ratio_subset(ds, 0.2, seed=1)
+    assert len(sub) == 10
+    rl = random_relabel(ds, 5, seed=0)
+    assert len(rl) == len(ds)
+    # never the original label (image_iter.py:89-121)
+    assert all(a != b for a, b in zip(rl.targets, ds.targets))
+    # decode still returns the original image
+    np.testing.assert_allclose(rl.decode(0), ds.decode(0))
+
+
+def test_batch_loader_seeded_and_complete():
+    ds = synthetic_face_dataset(num_classes=4, per_class=5)
+    dl = BatchLoader(ds, batch_size=8, seed=7)
+    batches = list(dl)
+    assert sum(b[1].shape[0] for b in batches) == 20
+    assert batches[0][0].shape[1:] == (3, 32, 32)
+    # same seed, fresh loader -> same first-epoch order
+    dl2 = BatchLoader(ds, batch_size=8, seed=7)
+    np.testing.assert_allclose(batches[0][0], next(iter(dl2))[0])
+    # second epoch reshuffles
+    b2 = next(iter(dl))
+    assert not np.allclose(batches[0][1], b2[1]) or \
+        not np.allclose(batches[0][0], b2[0])
+
+
+def test_cycling_loader_restarts():
+    ds = synthetic_face_dataset(num_classes=2, per_class=3)
+    cyc = CyclingLoader(BatchLoader(ds, batch_size=4, seed=0))
+    seen = [cyc.next() for _ in range(5)]  # 6 samples, bs 4 -> cycles
+    assert all(x.shape[0] in (2, 4) for x, _ in seen)
+
+
+def test_subset_preserves_metadata():
+    ds = synthetic_face_dataset(num_classes=3, per_class=2)
+    sub = SubsetDataset(ds, [0, 1])
+    assert sub.classes == ds.classes
+    assert len(sub.targets) == 2
+
+
+def test_image_folder(tmp_path):
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+    for cls in ["b_cls", "a_cls"]:
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(2):
+            Image.fromarray(
+                (np.random.RandomState(i).rand(16, 16, 3) * 255)
+                .astype(np.uint8)).save(d / f"{i}.png")
+    from gslora_tpu.data.folders import ImageFolderDataset
+    ds = ImageFolderDataset(str(tmp_path))
+    assert ds.classes == ["a_cls", "b_cls"]  # sorted like ImageFolder
+    assert len(ds) == 4
+    img = ds.decode(0)
+    assert img.shape == (3, 16, 16)
+    assert img.max() <= 1.0  # ToTensor scaling

@@ -10,10 +10,13 @@ from gslora_tpu.data.folders import ArrayDataset
 
 def synthetic_face_dataset(num_classes: int = 10, per_class: int = 8,
                            image_size: int = 32, seed: int = 0,
-                           noise: float = 0.15) -> ArrayDataset:
+                           noise: float = 0.15,
+                           proto_seed: int = 1234) -> ArrayDataset:
+    """``proto_seed`` fixes the class identities; vary ``seed`` to draw a
+    disjoint split (train/test) of the same classes."""
     rng = np.random.RandomState(seed)
-    protos = rng.randn(num_classes, 3, image_size, image_size).astype(
-        np.float32)
+    protos = np.random.RandomState(proto_seed).randn(
+        num_classes, 3, image_size, image_size).astype(np.float32)
     images, labels = [], []
     for c in range(num_classes):
         for _ in range(per_class):

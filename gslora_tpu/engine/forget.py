@@ -78,7 +78,10 @@ def make_forget_step(model: ViTConfig, lora: LoraConfig, fcfg: ForgetConfig,
         }
         return total, metrics
 
-    @partial(jax.jit, donate_argnums=(0,))
+    # note: no buffer donation — the large base subtree passes through
+    # unchanged (XLA aliases it), and donating would invalidate the
+    # caller-held initial params on TPU
+    @jax.jit
     def step(state: ForgetState, xf, yf, xr, yr, protos, scalars, rng):
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             state.lora, state.base, xf, yf, xr, yr, protos, scalars, rng)

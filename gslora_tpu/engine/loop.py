@@ -1,0 +1,196 @@
+"""Single-step GS-LoRA(++) training orchestration.
+
+The L4/L5 engine+driver of the reference (engine.py:13-433 +
+train_own_forget.py:722-826) re-shaped around one jitted step:
+
+* dual-stream epochs: the LONGER stream drives the epoch, the shorter one
+  cycles mid-epoch (engine.py:53/237 branch on few_shot + loader lengths;
+  cycling via data_prefetcher re-creation engine.py:416-421);
+* eval on test forget/remain every VER_FREQ batches with H-mean-gated
+  checkpointing (engine.py:381-409);
+* per-epoch alpha-warmup/beta-decay and timm cosine LR, passed into the
+  compiled step as traced scalars;
+* EMA of the merged model after ema_epoch (train_own_forget.py:783-826).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gslora_tpu.checkpoints.io import BestHCheckpointer
+from gslora_tpu.config import RunConfig
+from gslora_tpu.data.folders import Dataset
+from gslora_tpu.data.pipeline import BatchLoader, CyclingLoader
+from gslora_tpu.engine.ema import ema_init, ema_update
+from gslora_tpu.engine.evaluate import eval_accuracy, h_mean, make_eval_step
+from gslora_tpu.engine.forget import make_forget_step, scalars_for_epoch
+from gslora_tpu.engine.prototypes import calculate_prototypes
+from gslora_tpu.engine.schedule import timm_cosine_lr
+from gslora_tpu.engine.state import ForgetState, make_optimizer
+from gslora_tpu.lora.core import lora_group_norms
+from gslora_tpu.metrics.logging import MetricLogger
+
+
+@dataclass
+class ForgetData:
+    train_forget: Dataset
+    train_remain: Dataset
+    test_forget: Dataset
+    test_remain: Dataset
+    test_open: Optional[Dataset] = None
+
+
+@dataclass
+class ForgetResult:
+    state: Any
+    best_h: float
+    forget_acc_before: float
+    forget_acc: float
+    remain_acc: float
+    open_acc: Optional[float] = None
+    norm_list: List[float] = field(default_factory=list)
+    ema: Any = None
+    history: List[Dict] = field(default_factory=list)
+
+
+def _dtype(cfg: RunConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+def run_forget_training(cfg: RunConfig, params, data: ForgetData,
+                        logger: Optional[MetricLogger] = None,
+                        workdir: Optional[str] = None,
+                        protos: Optional[jax.Array] = None,
+                        beta: Optional[float] = None,
+                        pro_f_weight: Optional[float] = None,
+                        seed_offset: int = 0) -> ForgetResult:
+    model, lora, fcfg = cfg.model, cfg.lora, cfg.forget
+    cdt = _dtype(cfg)
+    logger = logger or MetricLogger()
+    seed = cfg.data.seed + seed_offset
+
+    opt = make_optimizer(cfg.optim)
+    state = ForgetState.create(params, opt)
+    step_fn = make_forget_step(model, lora, fcfg, opt, compute_dtype=cdt)
+    eval_step = make_eval_step(model, lora, compute_dtype=cdt)
+
+    # prototypes from the *pretrained* model over forget ∪ remain subsets
+    # (train_own_forget.py:591-611)
+    if fcfg.prototype and protos is None:
+        proto_batches = list(BatchLoader(data.train_forget, cfg.data.batch_size,
+                                         shuffle=False, prefetch=0)) + \
+            list(BatchLoader(data.train_remain, cfg.data.batch_size,
+                             shuffle=False, prefetch=0))
+        protos = calculate_prototypes(
+            params, proto_batches, model, lora, model.num_class,
+            compute_dtype=cdt,
+            aug_repeat=20 if fcfg.aug_num > 0 else 0, seed=seed)
+    if protos is None:
+        protos = jnp.zeros((model.num_class, model.dim), jnp.float32)
+
+    bs = cfg.data.batch_size
+    test_bs = bs * cfg.data.test_batch_scale
+    loader_f = BatchLoader(data.train_forget, bs, seed=seed)
+    loader_r = BatchLoader(data.train_remain, bs, seed=seed + 1)
+    test_batches_f = lambda: BatchLoader(data.test_forget, test_bs,  # noqa: E731
+                                         shuffle=False, prefetch=0)
+    test_batches_r = lambda: BatchLoader(data.test_remain, test_bs,  # noqa: E731
+                                         shuffle=False, prefetch=0)
+
+    forget_acc_before = eval_accuracy(eval_step, state.params,
+                                      test_batches_f())
+    remain_acc_before = eval_accuracy(eval_step, state.params,
+                                      test_batches_r())
+    logger.log({"forget_acc_before": forget_acc_before,
+                "remain_acc_before": remain_acc_before}, step=0)
+
+    ckpt = BestHCheckpointer(workdir, name=cfg.net) if workdir else None
+    if ckpt:
+        ckpt.save_config(cfg.to_json())
+
+    # the longer stream drives the epoch (engine.py:53)
+    forget_drives = fcfg.few_shot and len(loader_f) > len(loader_r)
+
+    rng = jax.random.key(seed)
+    batch = 0
+    best_h = float("-inf")
+    last = {"forget_acc": forget_acc_before, "remain_acc": remain_acc_before,
+            "open_acc": None}
+    ema = None
+    history: List[Dict] = []
+
+    def run_eval(epoch):
+        nonlocal best_h
+        facc = eval_accuracy(eval_step, state.params, test_batches_f())
+        racc = eval_accuracy(eval_step, state.params, test_batches_r())
+        oacc = None
+        if data.test_open is not None:
+            oacc = eval_accuracy(
+                eval_step, state.params,
+                BatchLoader(data.test_open, test_bs, shuffle=False,
+                            prefetch=0))
+        h = h_mean(forget_acc_before, facc, racc)
+        payload = {"Test forget Accuracy": facc, "Test remain Accuracy": racc,
+                   "H_mean": h}
+        if oacc is not None:
+            payload["Test open Accuracy"] = oacc
+        logger.log(payload, step=batch)
+        if h > best_h:
+            best_h = h
+            if ckpt:
+                ckpt.maybe_save(h, state.params, epoch, batch)
+        last.update(forget_acc=facc, remain_acc=racc, open_acc=oacc)
+        history.append({"epoch": epoch, "batch": batch, **payload})
+
+    for epoch in range(cfg.num_epoch):
+        lr = timm_cosine_lr(cfg.optim, epoch)
+        scalars = scalars_for_epoch(cfg, epoch, lr=lr, beta=beta,
+                                    w_pro_f=pro_f_weight)
+        if forget_drives:
+            driver, cycler = loader_f, CyclingLoader(loader_r)
+        else:
+            driver, cycler = loader_r, CyclingLoader(loader_f)
+        for xd, yd in driver:
+            xc, yc = cycler.next()
+            if forget_drives:
+                xf, yf, xr, yr = xd, yd, xc, yc
+            else:
+                xf, yf, xr, yr = xc, yc, xd, yd
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, jnp.asarray(xf), jnp.asarray(yf),
+                                     jnp.asarray(xr), jnp.asarray(yr),
+                                     protos, scalars, sub)
+            if (batch + 1) % cfg.disp_freq == 0:
+                logger.log({k: float(v) for k, v in metrics.items()},
+                           step=batch)
+            if (batch + 1) % cfg.ver_freq == 0:
+                run_eval(epoch)
+            batch += 1
+
+        # EMA of the merged model (train_own_forget.py:783-826)
+        if fcfg.average_weight:
+            if epoch == fcfg.ema_epoch:
+                ema = ema_init(state.base, state.lora, lora.scaling)
+            elif epoch > fcfg.ema_epoch and ema is not None:
+                ema = ema_update(ema, state.base, state.lora, lora.scaling,
+                                 fcfg.ema_decay)
+            if ema is not None:
+                ema_params = {"base": ema, "lora": {}}
+                logger.log({
+                    "Test forget-ema Accuracy": eval_accuracy(
+                        eval_step, ema_params, test_batches_f()),
+                    "Test remain-ema Accuracy": eval_accuracy(
+                        eval_step, ema_params, test_batches_r()),
+                }, step=batch)
+
+    run_eval(cfg.num_epoch - 1)
+    norms = lora_group_norms(state.lora, fcfg.group_pos)
+    logger.log({f"norm_group_{i}": n for i, n in enumerate(norms)},
+               step=batch)
+    return ForgetResult(
+        state=state, best_h=best_h, forget_acc_before=forget_acc_before,
+        forget_acc=last["forget_acc"], remain_acc=last["remain_acc"],
+        open_acc=last["open_acc"], norm_list=norms, ema=ema, history=history)

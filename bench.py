@@ -1,0 +1,79 @@
+"""Headline benchmark: images/sec/chip for the ViT-P8S8 GS-LoRA forget
+fine-tune step (the driver's BASELINE.json primary metric).
+
+Measures the full jitted dual-batch train step (forward forget + forward
+remain + all four losses + grad + AdamW update) on the reference recipe
+shapes (scripts/run_forget.sh: depth-6 ViT-P8S8, CosFace, rank 8, bs 48 per
+stream -> 96 images per step), bf16 compute.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
+we normalize against A100_TORCH_BASELINE_IPS, a documented estimate of the
+reference PyTorch fine-tune loop on A100 (fp32, dual forward+backward,
+no AMP). Replace with a measured value when one exists.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+A100_TORCH_BASELINE_IPS = 2000.0  # estimated reference loop on A100 (fp32)
+
+BATCH_PER_STREAM = 48  # run_forget.sh:35-56 non-few-shot batch size
+WARMUP_STEPS = 5
+MEASURE_STEPS = 30
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gslora_tpu.config import OptimConfig
+    from gslora_tpu.engine.forget import make_forget_step
+    from gslora_tpu.engine.state import ForgetState, make_optimizer
+    from gslora_tpu.models.vit import init_vit_params
+    from __graft_entry__ import _flagship_configs
+
+    model, lora, fcfg = _flagship_configs()
+    params = init_vit_params(jax.random.key(0), model, lora)
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-2))
+    state = ForgetState.create(params, opt)
+    step = make_forget_step(model, lora, fcfg, opt,
+                            compute_dtype=jnp.bfloat16, use_prototype=True)
+
+    bs = BATCH_PER_STREAM
+    key = jax.random.key(1)
+    xf = jax.random.normal(key, (bs, 3, 112, 112), jnp.float32)
+    yf = jnp.arange(bs, dtype=jnp.int32) % 10 + 90
+    xr = jax.random.normal(jax.random.key(2), (bs, 3, 112, 112), jnp.float32)
+    yr = jnp.arange(bs, dtype=jnp.int32) % 90
+    protos = jax.random.normal(jax.random.key(3),
+                               (model.num_class, model.dim), jnp.float32)
+    scalars = {k: jnp.float32(v) for k, v in dict(
+        beta=0.15, alpha=0.01, lr=1e-2, bnd=110.0, bnd_pro=18.0,
+        w_pro_f=0.1, w_pro_r=0.1).items()}
+
+    for i in range(WARMUP_STEPS):
+        state, metrics = step(state, xf, yf, xr, yr, protos, scalars,
+                              jax.random.key(i))
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE_STEPS):
+        state, metrics = step(state, xf, yf, xr, yr, protos, scalars,
+                              jax.random.key(100 + i))
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = MEASURE_STEPS * 2 * bs / dt
+    n_chips = jax.device_count()
+    ips_per_chip = images_per_sec / n_chips
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip_vit_p8s8_forget_finetune",
+        "value": round(ips_per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips_per_chip / A100_TORCH_BASELINE_IPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Teacher-student baseline family: LwF, DER, DER++, FDR.
+
+One jitted step per method (reference per-method loops in
+baselines/Lwftrain.py, DERtrain.py, FDRtrain.py share this shape):
+student CE on the relabeled forget batch + a teacher-anchored term on a
+cycled remain batch, teacher frozen at task start.
+
+Loss terms reproduced exactly:
+* DER   (DERtrain.py:12-16):  ||emb_r - emb_teacher_r||_2^2  (SUM of squares)
+  DER++ (:80-92): + lambda_plus * CE(student, second remain batch)
+* FDR   (FDRtrain.py:17-19):  mean over rows of ||logits_r - logits_t||_2
+* LwF   (Lwftrain.py:12-27):  temperature-power soft-target loss. NOTE the
+  reference applies log() to log_softmax output, producing NaNs that are
+  scrubbed to 0 — making its KD term identically zero. We implement the
+  intended loss (power-temperature renormalized soft targets); pass
+  faithful_zero_kd=True to reproduce the reference's no-op term exactly.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gslora_tpu.config import LoraConfig, RunConfig, ViTConfig
+from gslora_tpu.engine.evaluate import eval_accuracy, h_mean, make_eval_step
+from gslora_tpu.engine.forget import _with_lr
+from gslora_tpu.engine.pretrain import PretrainState
+from gslora_tpu.engine.schedule import timm_cosine_lr
+from gslora_tpu.losses.classification import cross_entropy
+from gslora_tpu.losses.distillation import lwf_kd_loss
+from gslora_tpu.models.vit import vit_apply
+
+
+def der_loss(emb_s, emb_t) -> jax.Array:
+    d = emb_s.astype(jnp.float32) - emb_t.astype(jnp.float32)
+    return jnp.sum(d * d)  # squared Frobenius norm (DERtrain.py:12-16)
+
+
+def fdr_loss(logits_s, logits_t) -> jax.Array:
+    d = logits_s.astype(jnp.float32) - logits_t.astype(jnp.float32)
+    return jnp.mean(jnp.linalg.norm(d, axis=1))  # FDRtrain.py:17-19
+
+
+def make_distill_step(method: str, model: ViTConfig, lora: LoraConfig,
+                      optimizer, hp: Dict[str, float],
+                      compute_dtype=jnp.bfloat16,
+                      faithful_zero_kd: bool = False):
+    """step(state, teacher_params, xf, yf, xr, yr, xr2, yr2, lr, rng)."""
+    method = method.lower()
+
+    def loss_fn(params, teacher, xf, yf, xr, yr, xr2, yr2, rng):
+        r1, r2, r3 = jax.random.split(rng, 3)
+        logits_f, _ = vit_apply(params, xf, yf, model, lora, train=True,
+                                rng=r1, compute_dtype=compute_dtype)
+        ce_f = cross_entropy(logits_f, yf)
+        logits_r, emb_r = vit_apply(params, xr, yr, model, lora, train=True,
+                                    rng=r2, compute_dtype=compute_dtype)
+        t_logits_r, t_emb_r = jax.lax.stop_gradient(
+            vit_apply(teacher, xr, yr, model, lora, train=False,
+                      compute_dtype=compute_dtype))
+        metrics = {"loss_CE": ce_f}
+        if method == "lwf":
+            kd = jnp.float32(0.0) if faithful_zero_kd else \
+                lwf_kd_loss(logits_r, t_logits_r, hp["T"])
+            ce_r = cross_entropy(logits_r, yr)
+            total = ce_f + hp["lambda_kd"] * kd + hp["lambda_remain"] * ce_r
+            metrics.update(loss_KD=kd, loss_remain=ce_r)
+        elif method in ("der", "der_plus"):
+            ld = der_loss(emb_r, t_emb_r)
+            total = ce_f + hp["lambda_der"] * ld
+            metrics.update(loss_DER=ld)
+            if method == "der_plus":
+                logits_r2, _ = vit_apply(params, xr2, yr2, model, lora,
+                                         train=True, rng=r3,
+                                         compute_dtype=compute_dtype)
+                ce_r2 = cross_entropy(logits_r2, yr2)
+                total = total + hp["lambda_der_plus"] * ce_r2
+                metrics.update(loss_CE_next=ce_r2)
+        elif method == "fdr":
+            lf = fdr_loss(logits_r, t_logits_r)
+            total = ce_f + hp["lambda_fdr"] * lf
+            metrics.update(loss_FDR=lf)
+        else:
+            raise ValueError(f"unknown distill method {method}")
+        metrics["loss_total"] = total
+        return total, metrics
+
+    @jax.jit
+    def step(state: PretrainState, teacher, xf, yf, xr, yr, xr2, yr2, lr,
+             rng):
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, teacher, xf, yf, xr, yr, xr2, yr2, rng)
+        opt_state = _with_lr(state.opt_state, lr)
+        updates, opt_state = optimizer.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return PretrainState(params=params, opt_state=opt_state,
+                             step=state.step + 1), metrics
+
+    return step
+
+
+def run_distill_task(cfg: RunConfig, params, teacher_params,
+                     forget_loader_factory: Callable, remain_cycler,
+                     test_batches_f: Callable, test_batches_r: Callable,
+                     *, method: Optional[str] = None,
+                     num_epoch: Optional[int] = None, logger=None,
+                     test_batches_open: Optional[Callable] = None
+                     ) -> Dict[str, Any]:
+    """One task of LwF/DER/DER++/FDR: iterate the relabeled forget loader,
+    cycle remain batches via ``remain_cycler.next()``."""
+    from gslora_tpu.engine.loop import _dtype
+    from gslora_tpu.engine.state import make_optimizer
+    from gslora_tpu.metrics.logging import MetricLogger
+
+    method = (method or cfg.baseline.method).lower()
+    b = cfg.baseline
+    hp = {"T": b.lwf_T, "lambda_kd": b.lwf_lambda_kd,
+          "lambda_remain": b.lwf_lambda_remain, "lambda_der": b.der_lambda,
+          "lambda_der_plus": b.der_plus_lambda, "lambda_fdr": b.fdr_lambda}
+    cdt = _dtype(cfg)
+    logger = logger or MetricLogger()
+    opt = make_optimizer(cfg.optim)
+    state = PretrainState.create(params, opt)
+    step = make_distill_step(method, cfg.model, cfg.lora, opt, hp,
+                             compute_dtype=cdt)
+    eval_step = make_eval_step(cfg.model, cfg.lora, compute_dtype=cdt)
+
+    facc_before = eval_accuracy(eval_step, state.params, test_batches_f())
+    best_h = float("-inf")
+    rng = jax.random.key(cfg.data.seed)
+    batch = 0
+    for epoch in range(num_epoch if num_epoch is not None else cfg.num_epoch):
+        lr = timm_cosine_lr(cfg.optim, epoch)
+        for xf, yf in forget_loader_factory():
+            xr, yr = remain_cycler.next()
+            if method == "der_plus":
+                xr2, yr2 = remain_cycler.next()
+            else:
+                xr2, yr2 = xr, yr
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, teacher_params, jnp.asarray(xf),
+                                  jnp.asarray(yf), jnp.asarray(xr),
+                                  jnp.asarray(yr), jnp.asarray(xr2),
+                                  jnp.asarray(yr2), jnp.float32(lr), sub)
+            if (batch + 1) % cfg.disp_freq == 0:
+                logger.log({k: float(v) for k, v in metrics.items()},
+                           step=batch)
+            if (batch + 1) % cfg.ver_freq == 0:
+                facc = eval_accuracy(eval_step, state.params,
+                                     test_batches_f())
+                racc = eval_accuracy(eval_step, state.params,
+                                     test_batches_r())
+                best_h = max(best_h, h_mean(facc_before, facc, racc,
+                                            eps=1e-8))
+            batch += 1
+
+    facc = eval_accuracy(eval_step, state.params, test_batches_f())
+    racc = eval_accuracy(eval_step, state.params, test_batches_r())
+    oacc = eval_accuracy(eval_step, state.params, test_batches_open()) \
+        if test_batches_open else None
+    best_h = max(best_h, h_mean(facc_before, facc, racc, eps=1e-8))
+    return {"params": state.params, "forget_acc_before": facc_before,
+            "forget_acc": facc, "remain_acc": racc, "open_acc": oacc,
+            "best_h": best_h}

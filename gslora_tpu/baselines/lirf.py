@@ -1,0 +1,187 @@
+"""LIRF: Learning-to-Impersonate-and-Recover baseline
+(baselines/LIRFtrain.py:58-341; 4-model setup train_own_forget_cl.py:330-422).
+
+The reference splits ViT_face into low (first depth//2 blocks, returns the
+token sequence, vit_face.py:638-665) and up (remaining blocks + head,
+``up=True`` transformer, vit_face.py:755-781) halves as separate modules;
+here the split is a ``layer_range`` slice over the stacked block params —
+no model surgery:
+
+  student_low, deposit_low : trainable low-half trees
+  teacher (low+up)         : frozen full tree; its upper half and head score
+                             everything
+
+Per step over the RELABELED forget loader (cycling remain):
+  L = CE(student)·(1-alpha) - 300·AT(student_mid, teacher_mid)
+      + 10·KD_T(student[:, split:] vs teacher)·alpha·T^2
+      + 0.05·( KD_T(deposit[:, :split] vs teacher)·alpha·T^2
+               + CE(deposit)·(1-alpha) )
+      + 5·CE(student on remain)
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gslora_tpu.config import LoraConfig, RunConfig, ViTConfig
+from gslora_tpu.engine.evaluate import h_mean
+from gslora_tpu.engine.forget import _with_lr
+from gslora_tpu.engine.schedule import timm_cosine_lr
+from gslora_tpu.losses.classification import cross_entropy
+from gslora_tpu.losses.distillation import attention_transfer_loss, \
+    kd_kl_loss
+from gslora_tpu.models.heads import apply_head
+from gslora_tpu.models.vit import vit_embed
+
+from flax import struct
+
+
+@struct.dataclass
+class LIRFState:
+    student_low: Any
+    deposit_low: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def _low_tokens(tree, x, model, lora, *, train, rng, cdt):
+    """Patchify + first depth//2 blocks -> token sequence (ViT_face_low)."""
+    half = model.depth // 2
+    return vit_embed({"base": tree, "lora": {}}, x, model, lora, train=train,
+                     rng=rng, compute_dtype=cdt, layer_range=(0, half),
+                     return_tokens=True)
+
+
+def _up_logits(teacher_tree, tokens, labels, model, lora, cdt):
+    """Upper half + head under the frozen teacher (ViT_face_up)."""
+    half = model.depth // 2
+    emb = vit_embed({"base": teacher_tree, "lora": {}}, None, model, lora,
+                    train=False, compute_dtype=cdt, tokens_in=tokens,
+                    layer_range=(half, model.depth))
+    return apply_head(model.head_type, teacher_tree["head"], emb, labels), emb
+
+
+def make_lirf_step(model: ViTConfig, lora: LoraConfig, optimizer,
+                   split: int, T: float, alpha: float,
+                   compute_dtype=jnp.bfloat16):
+    cdt = compute_dtype
+
+    def loss_fn(trainable, teacher, xf, yf, xr, yr, rng):
+        student_low, deposit_low = trainable
+        r1, r2, r3 = jax.random.split(rng, 3)
+        s_mid = _low_tokens(student_low, xf, model, lora, train=True, rng=r1,
+                            cdt=cdt)
+        s_final, _ = _up_logits(teacher, s_mid, yf, model, lora, cdt)
+        d_mid = _low_tokens(deposit_low, xf, model, lora, train=True, rng=r2,
+                            cdt=cdt)
+        d_final, _ = _up_logits(teacher, d_mid, yf, model, lora, cdt)
+        t_mid = jax.lax.stop_gradient(
+            _low_tokens(teacher, xf, model, lora, train=False, rng=None,
+                        cdt=cdt))
+        t_final, _ = _up_logits(teacher, t_mid, yf, model, lora, cdt)
+        t_final = jax.lax.stop_gradient(t_final)
+
+        loss_ce = cross_entropy(s_final, yf) * (1 - alpha)
+        loss_at = attention_transfer_loss(s_mid, t_mid)
+        kd_kp = kd_kl_loss(s_final[:, split:], t_final[:, split:], T) * alpha
+        loss_pt_re = kd_kl_loss(d_final[:, :split], t_final[:, :split], T) \
+            * alpha + cross_entropy(d_final, yf) * (1 - alpha)
+
+        sr_mid = _low_tokens(student_low, xr, model, lora, train=True,
+                             rng=r3, cdt=cdt)
+        sr_final, _ = _up_logits(teacher, sr_mid, yr, model, lora, cdt)
+        loss_replay = cross_entropy(sr_final, yr)
+
+        total = loss_ce - 300.0 * loss_at + 10.0 * kd_kp + \
+            0.05 * loss_pt_re + 5.0 * loss_replay
+        return total, {"loss_CE": loss_ce, "loss_AT": loss_at,
+                       "loss_kdKP": kd_kp, "loss_pt_re": loss_pt_re,
+                       "loss_remain": loss_replay, "loss_total": total}
+
+    @jax.jit
+    def step(state: LIRFState, teacher, xf, yf, xr, yr, lr, rng):
+        trainable = (state.student_low, state.deposit_low)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            trainable, teacher, xf, yf, xr, yr, rng)
+        opt_state = _with_lr(state.opt_state, lr)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        s, d = optax.apply_updates(trainable, updates)
+        return LIRFState(student_low=s, deposit_low=d, opt_state=opt_state,
+                         step=state.step + 1), metrics
+
+    return step
+
+
+def lirf_eval_accuracy(teacher, student_low, batches, model: ViTConfig,
+                       lora: LoraConfig, compute_dtype=jnp.bfloat16) -> float:
+    """eval_data_LIRF: accuracy of teacher_up(student_low(x))."""
+
+    @jax.jit
+    def ev(student_low, teacher, x, y):
+        mid = _low_tokens(student_low, x, model, lora, train=False, rng=None,
+                          cdt=compute_dtype)
+        logits, _ = _up_logits(teacher, mid, y, model, lora, compute_dtype)
+        pred = jnp.argmax(logits, axis=-1)
+        return jnp.sum((pred == y).astype(jnp.int32)), y.shape[0]
+
+    correct = total = 0
+    for x, y in batches:
+        c, n = ev(student_low, teacher, jnp.asarray(x), jnp.asarray(y))
+        correct += int(c)
+        total += int(n)
+    return 100.0 * correct / max(total, 1)
+
+
+def run_lirf_task(cfg: RunConfig, params, forget_loader_factory: Callable,
+                  remain_cycler, test_batches_f: Callable,
+                  test_batches_r: Callable, logger=None,
+                  num_epoch: Optional[int] = None) -> Dict[str, Any]:
+    from gslora_tpu.engine.loop import _dtype
+    from gslora_tpu.engine.state import make_optimizer
+    from gslora_tpu.metrics.logging import MetricLogger
+
+    cdt = _dtype(cfg)
+    logger = logger or MetricLogger()
+    b = cfg.baseline
+    teacher = params["base"]
+    student_low = jax.tree.map(lambda x: x, teacher)
+    deposit_low = jax.tree.map(lambda x: x, teacher)
+    opt = make_optimizer(cfg.optim)
+    state = LIRFState(student_low=student_low, deposit_low=deposit_low,
+                      opt_state=opt.init((student_low, deposit_low)),
+                      step=jnp.int32(0))
+    step = make_lirf_step(cfg.model, cfg.lora, opt,
+                          split=cfg.forget.per_forget_cls, T=b.lirf_T,
+                          alpha=b.lirf_alpha, compute_dtype=cdt)
+
+    facc_before = lirf_eval_accuracy(teacher, state.student_low,
+                                     test_batches_f(), cfg.model, cfg.lora,
+                                     cdt)
+    rng = jax.random.key(cfg.data.seed)
+    batch = 0
+    best_h = float("-inf")
+    for epoch in range(num_epoch if num_epoch is not None else cfg.num_epoch):
+        lr = timm_cosine_lr(cfg.optim, epoch)
+        for xf, yf in forget_loader_factory():
+            xr, yr = remain_cycler.next()
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, teacher, jnp.asarray(xf),
+                                  jnp.asarray(yf), jnp.asarray(xr),
+                                  jnp.asarray(yr), jnp.float32(lr), sub)
+            if (batch + 1) % cfg.disp_freq == 0:
+                logger.log({k: float(v) for k, v in metrics.items()},
+                           step=batch)
+            batch += 1
+        facc = lirf_eval_accuracy(teacher, state.student_low,
+                                  test_batches_f(), cfg.model, cfg.lora, cdt)
+        racc = lirf_eval_accuracy(teacher, state.student_low,
+                                  test_batches_r(), cfg.model, cfg.lora, cdt)
+        best_h = max(best_h, h_mean(facc_before, facc, racc, eps=1e-8))
+
+    return {"student_low": state.student_low,
+            "deposit_low": state.deposit_low, "teacher": teacher,
+            "forget_acc_before": facc_before, "forget_acc": facc,
+            "remain_acc": racc, "best_h": best_h}

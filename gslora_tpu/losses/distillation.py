@@ -45,11 +45,13 @@ def logit_l2_loss(student, teacher) -> jax.Array:
 
 
 def attention_transfer_loss(student_tokens, teacher_tokens) -> jax.Array:
-    """LIRF attention transfer (LIRFtrain.py:17-40): normalized squared
-    token-activation maps, L2 between student and teacher."""
+    """LIRF attention transfer (LIRFtrain.py:42-55 ``at``/``at_loss``):
+    per-channel energy map x.pow(2).mean(axis=1) -> L2-normalize per sample
+    -> zero entries < 0.005 -> MSE between student and teacher maps."""
     def at_map(x):
         x = x.astype(jnp.float32)
-        a = jnp.mean(x ** 2, axis=-1)  # (B, N) activation energy per token
-        return a / jnp.maximum(
-            jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+        a = jnp.mean(x ** 2, axis=1).reshape(x.shape[0], -1)
+        a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True),
+                            1e-12)
+        return jnp.where(a < 0.005, 0.0, a)
     return jnp.mean((at_map(student_tokens) - at_map(teacher_tokens)) ** 2)

@@ -1,0 +1,169 @@
+"""Baseline zoo: importance estimation, reg/distill/SCRUB/LIRF smoke +
+behavioral checks on tiny synthetic data."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gslora_tpu.baselines.distill import der_loss, fdr_loss, run_distill_task
+from gslora_tpu.baselines.lirf import run_lirf_task
+from gslora_tpu.baselines.regularization import (estimate_importance,
+                                                 run_regularization_task)
+from gslora_tpu.baselines.scrub import param_dist, run_scrub_task, swa_update
+from gslora_tpu.config import (BaselineConfig, DataConfig, ForgetConfig,
+                               LoraConfig, OptimConfig, RunConfig, ViTConfig)
+from gslora_tpu.data.pipeline import BatchLoader, CyclingLoader
+from gslora_tpu.data.splits import make_order_list, random_relabel, \
+    split_by_class_window
+from gslora_tpu.data.synthetic import synthetic_face_dataset
+from gslora_tpu.engine.pretrain import pretrain
+from gslora_tpu.models.vit import init_vit_params
+
+MODEL = ViTConfig(image_size=16, patch_size=8, dim=32, depth=2, heads=2,
+                  dim_head=16, mlp_dim=64, num_class=6, dropout=0.0,
+                  emb_dropout=0.0, head_type="Softmax")
+LORA = LoraConfig(rank=0)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    train = synthetic_face_dataset(num_classes=6, per_class=12,
+                                   image_size=16, seed=0, noise=1.2)
+    test = synthetic_face_dataset(num_classes=6, per_class=6, image_size=16,
+                                  seed=99, noise=1.2)
+    cfg = RunConfig(model=MODEL, lora=LORA,
+                    optim=OptimConfig(lr=3e-3, warmup_epochs=0, epochs=30),
+                    data=DataConfig(batch_size=16))
+    params = init_vit_params(jax.random.key(0), MODEL, LORA)
+    state, _ = pretrain(cfg, params,
+                        lambda: BatchLoader(train, 16, seed=3, prefetch=0),
+                        epochs=10, compute_dtype=jnp.float32, lr=3e-3)
+    order = make_order_list(6, seed=1337)
+    remain_tr, forget_tr = split_by_class_window(train, order, 0, 4, 4, 6)
+    remain_te, forget_te = split_by_class_window(test, order, 0, 4, 4, 6)
+    return state.params, forget_tr, remain_tr, forget_te, remain_te
+
+
+def _cfg(method, epochs=6, lr=1e-3):
+    return RunConfig(
+        model=MODEL, lora=LORA,
+        optim=OptimConfig(opt="adamw", lr=lr, warmup_epochs=0,
+                          epochs=epochs),
+        forget=ForgetConfig(per_forget_cls=2),
+        baseline=BaselineConfig(method=method, der_lambda=0.1,
+                                fdr_lambda=0.1, scrub_superepoch=2,
+                                sgda_learning_rate=5e-4),
+        data=DataConfig(batch_size=8),
+        num_epoch=epochs, ver_freq=10_000, compute_dtype="float32")
+
+
+def _loaders(forget_tr, remain_tr, forget_te, remain_te, relabel=True):
+    f_ds = random_relabel(forget_tr, 6, seed=0) if relabel else forget_tr
+    fl = BatchLoader(f_ds, 8, seed=1)
+    rl = BatchLoader(remain_tr, 8, seed=2)
+    tbf = lambda: BatchLoader(forget_te, 24, shuffle=False, prefetch=0)  # noqa: E731
+    tbr = lambda: BatchLoader(remain_te, 24, shuffle=False, prefetch=0)  # noqa: E731
+    return fl, rl, tbf, tbr
+
+
+def test_importance_estimation(setup):
+    params, forget_tr, remain_tr, *_ = setup
+    batches = list(BatchLoader(remain_tr, 16, shuffle=False, prefetch=0))
+    imp_l2 = estimate_importance("l2", params, batches, MODEL, LORA,
+                                 jnp.float32)
+    assert all(float(jnp.all(leaf == 1.0)) for leaf in
+               jax.tree.leaves(imp_l2))
+    imp_ewc = estimate_importance("ewc", params, batches, MODEL, LORA,
+                                  jnp.float32)
+    total = sum(float(jnp.sum(leaf)) for leaf in jax.tree.leaves(imp_ewc))
+    assert np.isfinite(total) and total >= 0
+    imp_mas = estimate_importance("mas", params, batches, MODEL, LORA,
+                                  jnp.float32)
+    assert all(float(jnp.min(leaf)) >= 0 for leaf in
+               jax.tree.leaves(imp_mas))
+
+
+def test_ewc_task_forgets_via_relabeling(setup):
+    params, forget_tr, remain_tr, forget_te, remain_te = setup
+    fl, rl, tbf, tbr = _loaders(forget_tr, remain_tr, forget_te, remain_te)
+    cfg = _cfg("ewc", epochs=8)
+    anchors = [params]
+    imps = [estimate_importance(
+        "ewc", params, list(BatchLoader(remain_tr, 16, shuffle=False,
+                                        prefetch=0)), MODEL, LORA,
+        jnp.float32)]
+    out = run_regularization_task(
+        cfg, params, lambda: iter(fl), tbf, tbr, lam=1.0,
+        anchors=anchors, importances=imps)
+    assert out["forget_acc"] < out["forget_acc_before"]
+    assert np.isfinite(out["best_h"])
+
+
+def test_retrain_on_remain_only(setup):
+    params, forget_tr, remain_tr, forget_te, remain_te = setup
+    _, rl, tbf, tbr = _loaders(forget_tr, remain_tr, forget_te, remain_te)
+    cfg = _cfg("retrain", epochs=4)
+    from gslora_tpu.models.vit import init_vit_params as fresh
+    out = run_regularization_task(
+        cfg, fresh(jax.random.key(42), MODEL, LORA), lambda: iter(rl),
+        tbf, tbr, lam=0.0, anchors=[], importances=[])
+    # fresh model trained on remain only: forget acc ~ chance
+    assert out["forget_acc"] < 60.0
+    assert out["remain_acc"] > 60.0
+
+
+@pytest.mark.parametrize("method", ["lwf", "der", "der_plus", "fdr"])
+def test_distill_family(setup, method):
+    params, forget_tr, remain_tr, forget_te, remain_te = setup
+    fl, rl, tbf, tbr = _loaders(forget_tr, remain_tr, forget_te, remain_te)
+    cfg = _cfg(method, epochs=6)
+    out = run_distill_task(cfg, params, params, lambda: iter(fl),
+                           CyclingLoader(rl), tbf, tbr)
+    assert np.isfinite(out["best_h"])
+    assert out["forget_acc"] < out["forget_acc_before"] + 1e-6
+
+
+def test_scrub(setup):
+    params, forget_tr, remain_tr, forget_te, remain_te = setup
+    fl, rl, tbf, tbr = _loaders(forget_tr, remain_tr, forget_te, remain_te,
+                                relabel=False)  # SCRUB uses true labels
+    cfg = _cfg("scrub")
+    out = run_scrub_task(cfg, params, lambda: iter(fl), lambda: iter(rl),
+                         tbf, tbr)
+    assert np.isfinite(out["best_h"])
+    assert out["remain_acc"] > 50.0
+
+
+def test_lirf(setup):
+    params, forget_tr, remain_tr, forget_te, remain_te = setup
+    fl, rl, tbf, tbr = _loaders(forget_tr, remain_tr, forget_te, remain_te)
+    cfg = _cfg("lirf", epochs=4)
+    out = run_lirf_task(cfg, params, lambda: iter(fl), CyclingLoader(rl),
+                        tbf, tbr, num_epoch=4)
+    assert np.isfinite(out["best_h"])
+    assert "student_low" in out and "deposit_low" in out
+
+
+def test_scrub_helpers():
+    a = {"w": jnp.ones((2, 2))}
+    b = {"w": jnp.zeros((2, 2))}
+    assert abs(float(param_dist(a, b, 0.5)) - 0.5 * 2.0) < 1e-6
+    assert float(param_dist(a, b, 0.0)) == 0.0
+    # first swa update copies
+    swa = swa_update(b, a, n_averaged=0)
+    np.testing.assert_allclose(np.asarray(swa["w"]), 1.0)
+    swa = swa_update(b, a, n_averaged=1, beta=0.1)
+    np.testing.assert_allclose(np.asarray(swa["w"]), 0.1)
+
+
+def test_der_fdr_loss_shapes():
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+    b = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+    # DER: squared frobenius SUM (not mean)
+    assert abs(float(der_loss(a, b)) -
+               float(np.sum((np.asarray(a) - np.asarray(b)) ** 2))) < 1e-4
+    # FDR: mean of row-wise L2
+    want = float(np.mean(np.linalg.norm(np.asarray(a) - np.asarray(b),
+                                        axis=1)))
+    assert abs(float(fdr_loss(a, b)) - want) < 1e-5

@@ -44,6 +44,10 @@ class ViTConfig:
     soft_split: bool = False
     ac_patch_size: int = 12
     pad: int = 4
+    # vit_face omits qkv bias and scales by dim**-0.5 (vit_face.py:346
+    # quirk); torchvision ViT-B/16 has qkv bias and standard head-dim scale.
+    qkv_bias: bool = False
+    attn_scale: str = "dim"  # "dim" | "dim_head"
 
     @property
     def num_patches(self) -> int:

@@ -71,7 +71,8 @@ def init_vit_params(key, model: ViTConfig, lora: Optional[LoraConfig] = None,
 
     blocks = {
         "attn_ln": {"scale": jnp.ones((L, d), dt), "bias": jnp.zeros((L, d), dt)},
-        "qkv": _stack_linears(ks[0], L, d, 3 * inner, dt, bias=False),
+        "qkv": _stack_linears(ks[0], L, d, 3 * inner, dt,
+                              bias=model.qkv_bias),
         "attn_out": _stack_linears(ks[1], L, inner, d, dt),
         "ffn_ln": {"scale": jnp.ones((L, d), dt), "bias": jnp.zeros((L, d), dt)},
         "fc1": _stack_linears(ks[2], L, d, m, dt),
@@ -154,6 +155,8 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
     h = _layer_norm(x, blk["attn_ln"]["scale"], blk["attn_ln"]["bias"])
     h = h.astype(cdt)
     qkv = jnp.einsum("bnd,df->bnf", h, blk["qkv"]["kernel"].astype(cdt))
+    if "bias" in blk["qkv"]:
+        qkv = qkv + blk["qkv"]["bias"].astype(cdt)
     if lora_blk is not None and "attn" in lora_blk:
         A, B = lora_blk["attn"]["A"], lora_blk["attn"]["B"]  # (3,r,d),(3,o,r)
         deltas = [lora_delta(h, A[c], B[c], scaling) for c in range(3)]
@@ -163,8 +166,9 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
     q = rearrange(q, "b n (h d) -> b h n d", d=hd)
     k = rearrange(k, "b n (h d) -> b h n d", d=hd)
     v = rearrange(v, "b n (h d) -> b h n d", d=hd)
-    # reference scale quirk: dim**-0.5, not dim_head**-0.5 (vit_face.py:346)
-    scale = model.dim ** -0.5
+    # vit_face quirk: dim**-0.5 (vit_face.py:346); "dim_head" = standard
+    scale = (model.dim if model.attn_scale == "dim" else model.dim_head) \
+        ** -0.5
     dots = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
     attn = jax.nn.softmax(dots.astype(jnp.float32), axis=-1).astype(cdt)
     out = jnp.einsum("bhij,bhjd->bhid", attn, v)

@@ -35,14 +35,23 @@ def _with_lr(opt_state, lr):
 
 def make_forget_step(model: ViTConfig, lora: LoraConfig, fcfg: ForgetConfig,
                      optimizer, compute_dtype=jnp.bfloat16,
-                     use_prototype: Optional[bool] = None):
+                     use_prototype: Optional[bool] = None,
+                     structure_mode: str = "loss"):
     """Build the jitted dual-batch train step.
 
     step(state, xf, yf, xr, yr, protos, scalars, rng) -> (state, metrics)
     scalars: dict of traced floats {beta, alpha, lr, bnd, bnd_pro, w_pro_f,
     w_pro_r}.
+
+    structure_mode:
+      "loss" — reference-faithful: alpha * group-Lasso as a differentiated
+               term under AdamW (engine.py:269-274);
+      "prox" — fused Pallas proximal soft-threshold applied AFTER the data
+               step with threshold lr*alpha (drives groups exactly to zero;
+               SURVEY §7.3 opt-in mode).
     """
     use_proto = fcfg.prototype if use_prototype is None else use_prototype
+    use_prox = structure_mode == "prox"
 
     def loss_fn(lora_tree, base, xf, yf, xr, yr, protos, sc, rng):
         params = {"base": base, "lora": lora_tree}
@@ -54,7 +63,8 @@ def make_forget_step(model: ViTConfig, lora: LoraConfig, fcfg: ForgetConfig,
 
         ce_r = cross_entropy(logits_r, yr)
         l_forget = bounded_forget_loss(logits_f, yf, sc["bnd"])
-        l_struct = group_lasso(lora_tree, fcfg.group_type, fcfg.group_pos)
+        l_struct = jnp.float32(0.0) if use_prox else \
+            group_lasso(lora_tree, fcfg.group_type, fcfg.group_pos)
 
         if use_proto:
             l_proto, l_pro_f_hinged, l_pro_r = hinged_prototype_losses(
@@ -88,6 +98,10 @@ def make_forget_step(model: ViTConfig, lora: LoraConfig, fcfg: ForgetConfig,
         opt_state = _with_lr(state.opt_state, scalars["lr"])
         updates, opt_state = optimizer.update(grads, opt_state, state.lora)
         new_lora = optax.apply_updates(state.lora, updates)
+        if use_prox:
+            from gslora_tpu.ops.group_lasso import lora_group_prox
+            new_lora = lora_group_prox(
+                new_lora, scalars["lr"] * scalars["alpha"])
         return state.replace(lora=new_lora, opt_state=opt_state,
                              step=state.step + 1), metrics
 

@@ -1,0 +1,61 @@
+"""Checkpoint evaluation harness (reference test/test_own.py via
+scripts/test_sub.sh): overall + per-class top-1 on the test split; writes
+class_accuracy.txt next to the report."""
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gslora_tpu.config import build_parser, config_from_args
+from gslora_tpu.cli.common import build_datasets, build_params
+from gslora_tpu.data.pipeline import BatchLoader
+from gslora_tpu.models.vit import vit_apply
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    _, test_ds = build_datasets(cfg)
+    params = build_params(cfg)
+
+    @jax.jit
+    def predict(x, y):
+        logits, _ = vit_apply(params, x, y, cfg.model, cfg.lora, train=False,
+                              compute_dtype=cdt)
+        return jnp.argmax(logits, axis=-1)
+
+    correct = total = 0
+    per_class = defaultdict(lambda: [0, 0])
+    for x, y in BatchLoader(test_ds, cfg.data.batch_size, shuffle=False,
+                            prefetch=0):
+        pred = np.asarray(predict(jnp.asarray(x), jnp.asarray(y)))
+        for p, t in zip(pred, y):
+            per_class[int(t)][1] += 1
+            total += 1
+            if p == t:
+                per_class[int(t)][0] += 1
+                correct += 1
+
+    acc = 100.0 * correct / max(total, 1)
+    class_acc = {c: 100.0 * k / max(n, 1)
+                 for c, (k, n) in sorted(per_class.items())}
+    report = {"test_acc": acc, "num_samples": total}
+    print(json.dumps(report, indent=2))
+    if cfg.outdir:
+        os.makedirs(cfg.outdir, exist_ok=True)
+        with open(os.path.join(cfg.outdir, "class_accuracy.txt"), "w") as fh:
+            for c, a in class_acc.items():
+                fh.write(f"{c}\t{a:.2f}\n")
+        with open(os.path.join(cfg.outdir, "report.json"), "w") as fh:
+            json.dump({**report, "class_acc": class_acc}, fh, indent=2)
+    return report
+
+
+if __name__ == "__main__":
+    main()

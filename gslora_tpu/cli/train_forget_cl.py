@@ -1,0 +1,212 @@
+"""Continual forgetting driver — the flagship (reference
+train/train_own_forget_cl.py; recipe scripts/run_cl_forget.sh).
+
+Dispatches on method: GS-LoRA(++) (--one_stage), Retrain, Replay, L2/EWC/MAS,
+LwF, DER/DER++, FDR, SCRUB, LIRF — all against the same per-task class-window
+protocol, with per-task checkpoints and old-class eval.
+
+Usage (GS-LoRA++ main-table recipe):
+  python -m gslora_tpu.cli.train_forget_cl --one_stage --num_tasks 4 \
+      --num_of_first_cls 80 --per_forget_cls 20 --few_shot --few_shot_num 4 \
+      --lr 1e-2 -b 4 -e 100 --BND 105 --cl_beta_list 0.3 0.4 0.28 0.2 \
+      --prototype --BND_pro 50 --cl_prof_list 0.015 0.06 0.025 0.012 \
+      --average_weight --ema_epoch 30 -r <pretrained.pth>
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+
+from gslora_tpu.baselines.distill import run_distill_task
+from gslora_tpu.baselines.lirf import run_lirf_task
+from gslora_tpu.baselines.regularization import (estimate_importance,
+                                                 run_regularization_task)
+from gslora_tpu.baselines.scrub import run_scrub_task
+from gslora_tpu.checkpoints.io import save_task_checkpoint
+from gslora_tpu.config import RunConfig, build_parser, config_from_args
+from gslora_tpu.cli.common import build_datasets, build_params
+from gslora_tpu.data.pipeline import BatchLoader, CyclingLoader
+from gslora_tpu.data.splits import (few_shot_subset, make_order_list,
+                                    random_relabel, ratio_subset,
+                                    split_by_class_window, task_windows)
+from gslora_tpu.engine.continual import run_continual_forgetting
+from gslora_tpu.engine.evaluate import eval_accuracy, make_eval_step
+from gslora_tpu.engine.loop import _dtype
+from gslora_tpu.metrics.logging import MetricLogger
+
+
+class _ConcatDataset:
+    """Concat of two datasets preserving the decode protocol."""
+
+    def __init__(self, a, b):
+        self.a, self.b = a, b
+        self.samples = list(a.samples) + list(b.samples)
+        self.targets = list(a.targets) + list(b.targets)
+        self.classes = a.classes
+
+    def __len__(self):
+        return len(self.samples)
+
+    def decode(self, idx):
+        return self.a.decode(idx) if idx < len(self.a) else \
+            self.b.decode(idx - len(self.a))
+
+
+def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
+                           order, logger, workdir):
+    """Task loop for every non-GS-LoRA method."""
+    f, b = cfg.forget, cfg.baseline
+    method = b.method
+    cdt = _dtype(cfg)
+    eval_step = make_eval_step(cfg.model, cfg.lora, compute_dtype=cdt)
+    bs = cfg.data.batch_size
+    test_bs = bs * cfg.data.test_batch_scale
+    results = []
+    anchors, importances = [], []
+    lam = {"l2": b.l2_lambda, "ewc": b.ewc_lambda,
+           "mas": b.mas_lambda}.get(method, 0.0)
+
+    for task in range(f.num_tasks):
+        s1, e1, s2, e2 = task_windows(f.num_of_first_cls, f.per_forget_cls,
+                                      task)
+        remain_tr, forget_tr = split_by_class_window(train_ds, order, s1, e1,
+                                                     s2, e2)
+        remain_te, forget_te = split_by_class_window(test_ds, order, s1, e1,
+                                                     s2, e2)
+        if f.few_shot:
+            forget_sub = few_shot_subset(forget_tr, f.few_shot_num,
+                                         cfg.data.seed + task)
+            remain_sub = few_shot_subset(remain_tr, f.few_shot_num,
+                                         cfg.data.seed + task)
+        else:
+            forget_sub = ratio_subset(forget_tr, f.data_ratio,
+                                      cfg.data.seed + task)
+            remain_sub = ratio_subset(remain_tr, f.data_ratio,
+                                      cfg.data.seed + task)
+
+        tbf = lambda: BatchLoader(forget_te, test_bs, shuffle=False,  # noqa: E731
+                                  prefetch=0)
+        tbr = lambda: BatchLoader(remain_te, test_bs, shuffle=False,  # noqa: E731
+                                  prefetch=0)
+        relabeled = random_relabel(forget_sub, cfg.model.num_class,
+                                   seed=cfg.data.seed + task)
+        fl = BatchLoader(relabeled, bs, seed=cfg.data.seed + task)
+        rl = BatchLoader(remain_sub, bs, seed=cfg.data.seed + task + 1)
+
+        if method in ("l2", "ewc", "mas"):
+            if task == 0:
+                anchors.append(params)
+                imp_batches = list(BatchLoader(remain_sub, bs, shuffle=False,
+                                               prefetch=0))
+                importances.append(estimate_importance(
+                    method, params, imp_batches, cfg.model, cfg.lora, cdt))
+            out = run_regularization_task(
+                cfg, params, lambda: iter(fl), tbf, tbr, lam=lam,
+                anchors=anchors, importances=importances, logger=logger)
+            params = out["params"]
+            if task < f.num_tasks - 1:
+                anchors.append(params)
+                imp_batches = list(BatchLoader(remain_sub, bs, shuffle=False,
+                                               prefetch=0))
+                importances.append(estimate_importance(
+                    method, params, imp_batches, cfg.model, cfg.lora, cdt))
+        elif method == "retrain":
+            fresh = build_params(
+                RunConfig(net=cfg.net, model=cfg.model, lora=cfg.lora,
+                          data=cfg.data), seed=cfg.data.seed + 7 + task)
+            out = run_regularization_task(
+                cfg, fresh, lambda: iter(rl), tbf, tbr, lam=0.0,
+                anchors=[], importances=[], logger=logger)
+            params = out["params"]
+        elif method == "replay":
+            total = _ConcatDataset(relabeled, remain_sub)
+            tl = BatchLoader(total, bs, seed=cfg.data.seed + task)
+            out = run_regularization_task(
+                cfg, params, lambda: iter(tl), tbf, tbr, lam=0.0,
+                anchors=[], importances=[], logger=logger)
+            params = out["params"]
+        elif method in ("lwf", "der", "der_plus", "fdr"):
+            out = run_distill_task(cfg, params, params, lambda: iter(fl),
+                                   CyclingLoader(rl), tbf, tbr,
+                                   logger=logger)
+            params = out["params"]
+        elif method == "scrub":
+            # SCRUB uses TRUE labels on the forget set
+            fl_true = BatchLoader(forget_sub, bs, seed=cfg.data.seed + task)
+            out = run_scrub_task(cfg, params, lambda: iter(fl_true),
+                                 lambda: iter(rl), tbf, tbr, logger=logger)
+            params = out["params"]
+        elif method == "lirf":
+            out = run_lirf_task(cfg, params, lambda: iter(fl),
+                                CyclingLoader(rl), tbf, tbr, logger=logger)
+            # LIRF's deployable model is teacher_up(student_low)
+            base = dict(out["teacher"])
+            half = cfg.model.depth // 2
+            merged_blocks = jax.tree.map(
+                lambda s, t: t.at[:half].set(s[:half]),
+                out["student_low"]["blocks"], base["blocks"])
+            base["blocks"] = merged_blocks
+            for k in ("patch", "cls_token", "pos_embed"):
+                base[k] = out["student_low"][k]
+            params = {"base": base, "lora": params.get("lora", {})}
+        else:
+            raise ValueError(f"unknown method {method}")
+
+        old_acc = None
+        if task > 0:
+            _, old_te = split_by_class_window(test_ds, order, 0, 0, e2,
+                                              cfg.model.num_class)
+            if len(old_te):
+                old_acc = eval_accuracy(
+                    eval_step, params,
+                    BatchLoader(old_te, test_bs, shuffle=False, prefetch=0))
+        out["old_acc"] = old_acc
+        out.pop("params", None)
+        out.pop("swa", None)
+        out.pop("student_low", None)
+        out.pop("deposit_low", None)
+        out.pop("teacher", None)
+        results.append({"task": task, **{k: v for k, v in out.items()
+                                         if not hasattr(v, "shape")}})
+        if workdir:
+            save_task_checkpoint(workdir, task, params,
+                                 extra=results[-1])
+    return results, params
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    train_ds, test_ds = build_datasets(cfg)
+    order = make_order_list(cfg.model.num_class, seed=cfg.data.seed)
+    params = build_params(cfg)
+    logger = MetricLogger(use_wandb=cfg.log_wandb, outdir=cfg.outdir,
+                          config=json.loads(cfg.to_json()))
+
+    if cfg.baseline.method == "gs_lora" or args.one_stage:
+        out = run_continual_forgetting(cfg, params, train_ds, test_ds,
+                                       order, logger=logger,
+                                       workdir=cfg.outdir)
+        report = [{
+            "task": t.task, "forget_acc_before": t.result.forget_acc_before,
+            "forget_acc": t.result.forget_acc,
+            "remain_acc": t.result.remain_acc, "old_acc": t.old_acc,
+            "best_H_mean": t.result.best_h, "norm_list": t.result.norm_list,
+        } for t in out.tasks]
+    else:
+        report, _ = run_baseline_continual(cfg, params, train_ds, test_ds,
+                                           order, logger, cfg.outdir)
+
+    print(json.dumps(report, indent=2))
+    if cfg.outdir:
+        os.makedirs(cfg.outdir, exist_ok=True)
+        with open(os.path.join(cfg.outdir, "report.json"), "w") as fh:
+            json.dump(report, fh, indent=2)
+    logger.finish()
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Supervised pretraining driver (reference train/train_own.py; recipe
+scripts/run_sub.sh: ViT-P8S8, CASIA-100, CosFace, bs 480, lr 3e-4).
+
+Usage:
+  python -m gslora_tpu.cli.train_pretrain --net VIT --vit_depth 6 \
+      --head CosFace -b 480 --lr 3e-4 -e 1200 -d casia100
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+
+from gslora_tpu.checkpoints.io import BestHCheckpointer
+from gslora_tpu.config import build_parser, config_from_args
+from gslora_tpu.cli.common import build_datasets, build_params
+from gslora_tpu.data.pipeline import BatchLoader
+from gslora_tpu.engine.evaluate import eval_accuracy, make_eval_step
+from gslora_tpu.engine.pretrain import PretrainState, make_pretrain_step
+from gslora_tpu.engine.schedule import timm_cosine_lr
+from gslora_tpu.engine.state import make_optimizer
+from gslora_tpu.metrics.logging import MetricLogger
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    train_ds, test_ds = build_datasets(cfg)
+    params = build_params(cfg)
+    logger = MetricLogger(use_wandb=cfg.log_wandb, outdir=cfg.outdir,
+                          config=json.loads(cfg.to_json()))
+
+    opt = make_optimizer(cfg.optim)
+    state = PretrainState.create(params, opt)
+    # lora-only pretraining when a rank is set AND resuming a base ckpt
+    lora_only = cfg.lora.rank > 0 and bool(cfg.resume)
+    step = make_pretrain_step(cfg.model, cfg.lora, opt, compute_dtype=cdt,
+                              lora_only=lora_only)
+    eval_step = make_eval_step(cfg.model, cfg.lora, compute_dtype=cdt)
+
+    loader = BatchLoader(train_ds, cfg.data.batch_size, seed=cfg.data.seed)
+    test_batches = lambda: BatchLoader(  # noqa: E731
+        test_ds, cfg.data.batch_size * cfg.data.test_batch_scale,
+        shuffle=False, prefetch=0)
+
+    ckpt = BestHCheckpointer(cfg.outdir, name=cfg.net) if cfg.outdir else None
+    if ckpt:
+        ckpt.save_config(cfg.to_json())
+    rng = jax.random.key(cfg.data.seed)
+    best_acc = float("-inf")
+    batch = 0
+    for epoch in range(cfg.num_epoch):
+        lr = timm_cosine_lr(cfg.optim, epoch)
+        for x, y in loader:
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, jnp.asarray(x), jnp.asarray(y),
+                                  jnp.float32(lr), sub)
+            if (batch + 1) % cfg.disp_freq == 0:
+                logger.log({k: float(v) for k, v in metrics.items()},
+                           step=batch)
+            # VER_FREQ=20 inline eval + best-acc ckpt (train_own.py:483-544)
+            if (batch + 1) % 20 == 0:
+                acc = eval_accuracy(eval_step, state.params, test_batches())
+                logger.log({"Test Accuracy": acc}, step=batch)
+                if acc > best_acc and ckpt:
+                    best_acc = acc
+                    ckpt.maybe_save(acc, state.params, epoch, batch)
+            batch += 1
+
+    acc = eval_accuracy(eval_step, state.params, test_batches())
+    report = {"final_test_acc": acc, "best_test_acc": max(best_acc, acc)}
+    print(json.dumps(report, indent=2))
+    if cfg.outdir:
+        os.makedirs(cfg.outdir, exist_ok=True)
+        with open(os.path.join(cfg.outdir, "report.json"), "w") as fh:
+            json.dump(report, fh, indent=2)
+    logger.finish()
+    return report
+
+
+if __name__ == "__main__":
+    main()

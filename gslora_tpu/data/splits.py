@@ -47,6 +47,27 @@ def task_windows(num_of_first_cls: int, per_forget_cls: int, task: int
     return 0, en1, en1, en1 + per_forget_cls
 
 
+def open_single_windows(num_of_first_cls: int, per_forget_cls: int,
+                        open_cls_num: int):
+    """Single-step open-set 3-way windows (train_own_forget_open.py:392-401):
+    remain [0, first-open), open [first-open, first), forget [first,
+    first+per). Returns ((rs,re),(fs,fe),(os,oe))."""
+    en1 = num_of_first_cls - open_cls_num
+    return (0, en1), (num_of_first_cls,
+                      num_of_first_cls + per_forget_cls), (en1,
+                                                           num_of_first_cls)
+
+
+def open_task_windows(num_of_first_cls: int, per_forget_cls: int,
+                      open_cls_num: int, task: int):
+    """Continual open-set windows (train_own_forget_cl_open.py:413-418):
+    open classes sit at the FRONT of the order list and are never replayed:
+    open [0, open), remain [open, en1), forget [en1, en1+per)."""
+    en1 = num_of_first_cls - task * per_forget_cls
+    return (open_cls_num, en1), (en1, en1 + per_forget_cls), (0,
+                                                              open_cls_num)
+
+
 def few_shot_subset(dataset: Dataset, n_shot: int, seed: int | None = None
                     ) -> SubsetDataset:
     """n_shot samples per class via the reference's python-random protocol

@@ -1,0 +1,104 @@
+"""CLI drivers end-to-end on synthetic data (tiny shapes)."""
+import json
+import sys
+
+import pytest
+
+
+def _common_args(tmp_path, extra):
+    return ([
+        "-d", "synthetic", "-n", "VIT", "--vit_depth", "2",
+        "--head", "Softmax", "--lora_rank", "4",
+        "-b", "8", "--seed", "1337", "--compute_dtype", "float32",
+        "--outdir", str(tmp_path),
+    ] + extra)
+
+
+@pytest.fixture(autouse=True)
+def _tiny_model(monkeypatch):
+    """Shrink the synthetic model dims so CLI runs are fast."""
+    import gslora_tpu.config as C
+    orig = C.config_from_args
+
+    def patched(args):
+        cfg = orig(args)
+        if cfg.data.data_mode == "synthetic":
+            cfg.model = C.ViTConfig(
+                image_size=16, patch_size=8, dim=32,
+                depth=args.vit_depth, heads=2, dim_head=16, mlp_dim=64,
+                num_class=8, dropout=0.0, emb_dropout=0.0,
+                head_type=args.head)
+        return cfg
+
+    monkeypatch.setattr(C, "config_from_args", patched)
+    for mod in ("train_forget", "train_forget_cl", "train_pretrain",
+                "test_model"):
+        name = f"gslora_tpu.cli.{mod}"
+        if name in sys.modules:
+            monkeypatch.setattr(sys.modules[name], "config_from_args",
+                                patched)
+    yield
+
+
+def test_train_forget_cli(tmp_path):
+    from gslora_tpu.cli import train_forget
+    report = train_forget.main(_common_args(tmp_path, [
+        "-e", "2", "--lr", "1e-3", "--BND", "10", "--beta", "0.3",
+        "--alpha", "1e-4", "--alpha_epoch", "0",
+        "--num_of_first_cls", "6", "--per_forget_cls", "2",
+        "--data_ratio", "1.0",
+    ]))
+    assert "best_H_mean" in report
+    assert (tmp_path / "report.json").exists()
+    assert (tmp_path / "config.txt").exists()
+
+
+def test_train_forget_cli_open(tmp_path):
+    from gslora_tpu.cli import train_forget
+    report = train_forget.main(_common_args(tmp_path, [
+        "-e", "1", "--lr", "1e-3", "--BND", "10",
+        "--num_of_first_cls", "6", "--per_forget_cls", "2",
+        "--open_cls_num", "2", "--data_ratio", "1.0",
+    ]))
+    assert report["open_acc"] is not None
+
+
+def test_train_forget_cl_cli_gs_lora(tmp_path):
+    from gslora_tpu.cli import train_forget_cl
+    report = train_forget_cl.main(_common_args(tmp_path, [
+        "--one_stage", "-e", "1", "--lr", "1e-3", "--BND", "10",
+        "--num_tasks", "2", "--num_of_first_cls", "6",
+        "--per_forget_cls", "2", "--data_ratio", "1.0",
+        "--cl_beta_list", "0.3", "0.3",
+    ]))
+    assert len(report) == 2
+    assert report[1]["old_acc"] is not None
+
+
+@pytest.mark.parametrize("flag", ["--l2", "--retrain", "--replay", "--Der",
+                                  "--FDR"])
+def test_train_forget_cl_cli_baselines(tmp_path, flag):
+    from gslora_tpu.cli import train_forget_cl
+    report = train_forget_cl.main(_common_args(tmp_path, [
+        flag, "-e", "1", "--lr", "1e-3",
+        "--num_tasks", "1", "--num_of_first_cls", "6",
+        "--per_forget_cls", "2", "--data_ratio", "1.0",
+    ]))
+    assert len(report) == 1
+    assert "best_h" in report[0]
+
+
+def test_pretrain_and_test_cli(tmp_path):
+    from gslora_tpu.cli import test_model, train_pretrain
+    report = train_pretrain.main(_common_args(tmp_path, [
+        "-e", "2", "--lr", "3e-3",
+    ]))
+    assert report["final_test_acc"] > 0
+    # evaluate the saved best checkpoint through the test harness
+    ckpts = sorted(tmp_path.glob("*.msgpack"))
+    assert ckpts
+    report2 = test_model.main(_common_args(tmp_path, [
+        "-r", str(ckpts[-1]),
+    ]))
+    assert report2["test_acc"] > 0
+    assert (tmp_path / "class_accuracy.txt").exists()

@@ -237,6 +237,7 @@ class RunConfig:
     embedding_size: int = 512
     compute_dtype: str = "bfloat16"  # matmul/activation dtype on TPU
     param_dtype: str = "float32"
+    lora_apply: str = "factored"  # "factored" | "merged" (fold B@A per step)
     disp_freq: int = 5  # engine.py DISP_FREQ
     ver_freq: int = 100  # engine.py VER_FREQ (eval every N batches)
     num_epoch: int = 100

@@ -36,7 +36,8 @@ def _with_lr(opt_state, lr):
 def make_forget_step(model: ViTConfig, lora: LoraConfig, fcfg: ForgetConfig,
                      optimizer, compute_dtype=jnp.bfloat16,
                      use_prototype: Optional[bool] = None,
-                     structure_mode: str = "loss"):
+                     structure_mode: str = "loss",
+                     lora_apply: str = "factored"):
     """Build the jitted dual-batch train step.
 
     step(state, xf, yf, xr, yr, protos, scalars, rng) -> (state, metrics)
@@ -57,9 +58,11 @@ def make_forget_step(model: ViTConfig, lora: LoraConfig, fcfg: ForgetConfig,
         params = {"base": base, "lora": lora_tree}
         rf, rr = jax.random.split(rng)
         logits_f, emb_f = vit_apply(params, xf, yf, model, lora, train=True,
-                                    rng=rf, compute_dtype=compute_dtype)
+                                    rng=rf, compute_dtype=compute_dtype,
+                                    lora_apply=lora_apply)
         logits_r, emb_r = vit_apply(params, xr, yr, model, lora, train=True,
-                                    rng=rr, compute_dtype=compute_dtype)
+                                    rng=rr, compute_dtype=compute_dtype,
+                                    lora_apply=lora_apply)
 
         ce_r = cross_entropy(logits_r, yr)
         l_forget = bounded_forget_loss(logits_f, yf, sc["bnd"])

@@ -249,14 +249,28 @@ def vit_embed(params: Params, images: jax.Array, model: ViTConfig,
               compute_dtype=jnp.bfloat16,
               layer_range: Optional[Tuple[int, int]] = None,
               tokens_in: Optional[jax.Array] = None,
-              return_tokens: bool = False) -> jax.Array:
+              return_tokens: bool = False,
+              lora_apply: str = "factored") -> jax.Array:
     """Backbone forward -> post-LN CLS embedding (B, dim) in fp32.
 
     ``tokens_in``/``return_tokens`` expose the token sequence boundary used
     by the LIRF low/up split (vit_face.py:638-665, 755-781).
+
+    ``lora_apply``: "factored" runs the low-rank path as two skinny matmuls
+    per adapted linear (loralib semantics); "merged" folds B@A into the
+    kernels ONCE per call before the block scan — same function of (A, B)
+    (grads flow through the fold), but the hot loop sees plain matmuls.
+    At rank 8 the fold costs ~0.1 GFLOP while removing 4 skinny MXU-hostile
+    matmuls per block from both forward and backward — the faster mode for
+    training on TPU ("Run LoRA Run"-style).
     """
     base = params["base"]
     lora_tree = params.get("lora", {})
+    if lora_tree and lora_apply == "merged":
+        from gslora_tpu.lora.core import merge_lora
+        base = dict(base)
+        base["blocks"] = merge_lora(base["blocks"], lora_tree, lora.scaling)
+        lora_tree = {}
     cdt = compute_dtype
     deterministic = not train
     r_emb = r_blocks = None
@@ -289,11 +303,11 @@ def vit_embed(params: Params, images: jax.Array, model: ViTConfig,
 def vit_apply(params: Params, images: jax.Array,
               labels: Optional[jax.Array], model: ViTConfig,
               lora: LoraConfig, *, train: bool = False, rng=None,
-              compute_dtype=jnp.bfloat16):
+              compute_dtype=jnp.bfloat16, lora_apply: str = "factored"):
     """Full forward. With labels: (logits, emb) like ViT_face.forward
     (vit_face.py:523-548); without: emb only."""
     emb = vit_embed(params, images, model, lora, train=train, rng=rng,
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, lora_apply=lora_apply)
     if labels is None or model.head_type == "None":
         return emb
     logits = apply_head(model.head_type, params["base"]["head"], emb, labels)

@@ -66,11 +66,28 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
                         protos: Optional[jax.Array] = None,
                         beta: Optional[float] = None,
                         pro_f_weight: Optional[float] = None,
-                        seed_offset: int = 0) -> ForgetResult:
+                        seed_offset: int = 0, mesh=None) -> ForgetResult:
+    """``mesh``: optional jax.sharding.Mesh — params replicate, train
+    batches shard over the ``data`` axis (XLA all-reduces LoRA grads over
+    ICI). Single-device runs pass None."""
     model, lora, fcfg = cfg.model, cfg.lora, cfg.forget
     cdt = _dtype(cfg)
     logger = logger or MetricLogger()
     seed = cfg.data.seed + seed_offset
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from gslora_tpu.parallel.mesh import batch_sharding
+        repl = NamedSharding(mesh, PartitionSpec())
+        params = jax.device_put(params, repl)
+        batch_sh = batch_sharding(mesh)
+
+        def put_batch(x, y):
+            return (jax.device_put(jnp.asarray(x), batch_sh),
+                    jax.device_put(jnp.asarray(y), batch_sh))
+    else:
+        def put_batch(x, y):
+            return jnp.asarray(x), jnp.asarray(y)
 
     opt = make_optimizer(cfg.optim)
     state = ForgetState.create(params, opt)
@@ -161,9 +178,10 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
             else:
                 xf, yf, xr, yr = xc, yc, xd, yd
             rng, sub = jax.random.split(rng)
-            state, metrics = step_fn(state, jnp.asarray(xf), jnp.asarray(yf),
-                                     jnp.asarray(xr), jnp.asarray(yr),
-                                     protos, scalars, sub)
+            xf, yf = put_batch(xf, yf)
+            xr, yr = put_batch(xr, yr)
+            state, metrics = step_fn(state, xf, yf, xr, yr, protos, scalars,
+                                     sub)
             if (batch + 1) % cfg.disp_freq == 0:
                 logger.log({k: float(v) for k, v in metrics.items()},
                            step=batch)

@@ -47,7 +47,7 @@ def main():
     state = ForgetState.create(params, opt)
     step = make_forget_step(model, lora, fcfg, opt,
                             compute_dtype=jnp.bfloat16, use_prototype=True,
-                            lora_apply="merged")
+                            lora_apply="merged", fused_batch=True)
 
     bs = BATCH_PER_STREAM
     xf = jax.random.normal(jax.random.key(1), (bs, 3, 112, 112), jnp.float32)

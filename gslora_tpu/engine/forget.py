@@ -37,7 +37,8 @@ def make_forget_step(model: ViTConfig, lora: LoraConfig, fcfg: ForgetConfig,
                      optimizer, compute_dtype=jnp.bfloat16,
                      use_prototype: Optional[bool] = None,
                      structure_mode: str = "loss",
-                     lora_apply: str = "factored"):
+                     lora_apply: str = "factored",
+                     fused_batch: bool = False):
     """Build the jitted dual-batch train step.
 
     step(state, xf, yf, xr, yr, protos, scalars, rng) -> (state, metrics)
@@ -56,13 +57,27 @@ def make_forget_step(model: ViTConfig, lora: LoraConfig, fcfg: ForgetConfig,
 
     def loss_fn(lora_tree, base, xf, yf, xr, yr, protos, sc, rng):
         params = {"base": base, "lora": lora_tree}
-        rf, rr = jax.random.split(rng)
-        logits_f, emb_f = vit_apply(params, xf, yf, model, lora, train=True,
-                                    rng=rf, compute_dtype=compute_dtype,
+        if fused_batch:
+            # one forward over [forget; remain] — fewer, bigger matmuls
+            # (identical math; dropout masks stay iid per sample)
+            x = jnp.concatenate([xf, xr], axis=0)
+            y = jnp.concatenate([yf, yr], axis=0)
+            logits, emb = vit_apply(params, x, y, model, lora, train=True,
+                                    rng=rng, compute_dtype=compute_dtype,
                                     lora_apply=lora_apply)
-        logits_r, emb_r = vit_apply(params, xr, yr, model, lora, train=True,
-                                    rng=rr, compute_dtype=compute_dtype,
-                                    lora_apply=lora_apply)
+            nf = xf.shape[0]
+            logits_f, logits_r = logits[:nf], logits[nf:]
+            emb_f, emb_r = emb[:nf], emb[nf:]
+        else:
+            rf, rr = jax.random.split(rng)
+            logits_f, emb_f = vit_apply(params, xf, yf, model, lora,
+                                        train=True, rng=rf,
+                                        compute_dtype=compute_dtype,
+                                        lora_apply=lora_apply)
+            logits_r, emb_r = vit_apply(params, xr, yr, model, lora,
+                                        train=True, rng=rr,
+                                        compute_dtype=compute_dtype,
+                                        lora_apply=lora_apply)
 
         ce_r = cross_entropy(logits_r, yr)
         l_forget = bounded_forget_loss(logits_f, yf, sc["bnd"])

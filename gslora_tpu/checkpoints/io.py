@@ -71,6 +71,17 @@ class BestHCheckpointer:
         return self._saved[-1] if self._saved else None
 
 
+def save_train_state(path: str, state: Any) -> None:
+    """Full-fidelity snapshot (params + optimizer state + step) for
+    mid-task recovery — finer-grained than the reference's per-task
+    granularity (SURVEY §5.3: crashes there lose in-task progress)."""
+    save_pytree(path, state)
+
+
+def restore_train_state(path: str, template: Any) -> Any:
+    return load_pytree(path, template)
+
+
 def save_task_checkpoint(workdir: str, task: int, tree: Any,
                          extra: dict | None = None) -> str:
     """Per-task snapshot (train_own_forget_cl.py:1696-1714)."""

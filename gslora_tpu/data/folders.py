@@ -121,6 +121,68 @@ class SubsetDataset(Dataset):
         return self.parent.decode(self.indices[idx])
 
 
+class PathListDataset(Dataset):
+    """Path-list dataset (reference ImageNet900Dataset, image_iter.py:140-159):
+    entries are (image_path, label) pairs with the ImageNet eval transform —
+    used for the missing-class eval over held-out classes with the restored
+    1000-way head."""
+
+    def __init__(self, entries, image_size: int = 224):
+        self.samples = [(p, int(l)) for p, l in entries]
+        self.targets = [l for _, l in self.samples]
+        self.classes = sorted({str(l) for l in self.targets})
+        self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+        self.image_size = image_size
+
+    def decode(self, idx: int) -> np.ndarray:
+        from PIL import Image
+        path, _ = self.samples[idx]
+        img = Image.open(path).convert("RGB")
+        img = _resize_short(img, 256)
+        img = _center_crop(img, self.image_size)
+        arr = (np.asarray(img, np.float32) / 255.0).transpose(2, 0, 1)
+        mean = np.array([0.485, 0.456, 0.406], np.float32)[:, None, None]
+        std = np.array([0.229, 0.224, 0.225], np.float32)[:, None, None]
+        return (arr - mean) / std
+
+
+class AugmentedDataset(Dataset):
+    """x-k duplication with augmentation (reference AugmentedDataset /
+    TransformWrapper, image_iter.py:162-203): each sample appears k times;
+    copies beyond the first get a seeded random augmentation (flip + jitter
+    — a PIL-free stand-in for RandAugment used in few-shot prototype
+    replication, util/utils.py:502-549)."""
+
+    def __init__(self, parent: Dataset, k: int, magnitude: int = 5,
+                 seed: int = 0):
+        self.parent = parent
+        self.k = k
+        self.magnitude = magnitude
+        self.seed = seed
+        self.samples = [parent.samples[i % len(parent)]
+                        for i in range(len(parent) * k)]
+        self.targets = [parent.targets[i % len(parent)]
+                        for i in range(len(parent) * k)]
+        self.classes = parent.classes
+        self.class_to_idx = getattr(parent, "class_to_idx", {})
+
+    def decode(self, idx: int) -> np.ndarray:
+        base = self.parent.decode(idx % len(self.parent))
+        copy_id = idx // len(self.parent)
+        if copy_id == 0:
+            return base
+        rng = np.random.RandomState(self.seed + idx)
+        img = base
+        if rng.randint(2):
+            img = img[:, :, ::-1]
+        shift = rng.randint(-2, 3, size=2)
+        img = np.roll(img, shift, axis=(1, 2))
+        img = img * (1.0 + 0.02 * self.magnitude * rng.randn())
+        img = img + 0.01 * self.magnitude * rng.randn(*img.shape) \
+            .astype(np.float32)
+        return img.astype(np.float32)
+
+
 class RelabelDataset(Dataset):
     """Random-relabel wrapper for the "forget by wrong label" baselines
     (image_iter.py:89-121 CLDatasetWrapper): label -> (label + rand) % C,

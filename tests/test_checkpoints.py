@@ -1,0 +1,54 @@
+"""Checkpoint IO: pytree round-trip, full train-state resume, best-H
+retention policy."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gslora_tpu.checkpoints.io import (BestHCheckpointer, load_pytree,
+                                       restore_train_state, save_pytree,
+                                       save_train_state)
+from gslora_tpu.config import LoraConfig, OptimConfig, ViTConfig
+from gslora_tpu.engine.state import ForgetState, make_optimizer
+from gslora_tpu.models.vit import init_vit_params
+
+CFG = ViTConfig(image_size=16, patch_size=8, dim=32, depth=2, heads=2,
+                dim_head=16, mlp_dim=64, num_class=6, dropout=0.0,
+                emb_dropout=0.0)
+LORA = LoraConfig(rank=4)
+
+
+def test_pytree_roundtrip(tmp_path):
+    params = init_vit_params(jax.random.key(0), CFG, LORA)
+    p = str(tmp_path / "ckpt.msgpack")
+    save_pytree(p, params)
+    back = load_pytree(p, params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_state_resume(tmp_path):
+    params = init_vit_params(jax.random.key(1), CFG, LORA)
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-3))
+    state = ForgetState.create(params, opt)
+    state = state.replace(step=jnp.int32(17))
+    p = str(tmp_path / "state.msgpack")
+    save_train_state(p, state)
+    template = ForgetState.create(
+        init_vit_params(jax.random.key(2), CFG, LORA), opt)
+    back = restore_train_state(p, template)
+    assert int(back.step) == 17
+    np.testing.assert_array_equal(np.asarray(back.lora["ffn"]["A1"]),
+                                  np.asarray(state.lora["ffn"]["A1"]))
+
+
+def test_best_h_retention(tmp_path):
+    ck = BestHCheckpointer(str(tmp_path), name="VIT", keep=2)
+    ck.save_config("{}")
+    tree = {"w": jnp.ones((2,))}
+    assert ck.maybe_save(10.0, tree, 0, 0)
+    assert not ck.maybe_save(5.0, tree, 1, 10)  # worse H: not saved
+    assert ck.maybe_save(20.0, tree, 2, 20)
+    assert ck.maybe_save(30.0, tree, 3, 30)
+    ckpts = list(tmp_path.glob("*.msgpack"))
+    assert len(ckpts) == 2  # pruned to keep=2
+    assert (tmp_path / "config.txt").exists()

@@ -19,8 +19,9 @@ from gslora_tpu.checkpoints.io import save_task_checkpoint
 from gslora_tpu.config import RunConfig
 from gslora_tpu.data.folders import Dataset
 from gslora_tpu.data.pipeline import BatchLoader
-from gslora_tpu.data.splits import (few_shot_subset, ratio_subset,
-                                    split_by_class_window, task_windows)
+from gslora_tpu.data.splits import (few_shot_subset, open_task_windows,
+                                    ratio_subset, split_by_class_window,
+                                    task_windows)
 from gslora_tpu.engine.ema import merged_params
 from gslora_tpu.engine.evaluate import eval_accuracy, make_eval_step
 from gslora_tpu.engine.loop import ForgetData, ForgetResult, _dtype, \
@@ -50,7 +51,17 @@ def split_task_data(cfg: RunConfig, train_ds: Dataset, test_ds: Dataset,
     """Per-task window split + few-shot/ratio subsetting
     (train_own_forget_cl.py:546-750). Returns (data, test_old)."""
     f = cfg.forget
-    s1, e1, s2, e2 = task_windows(f.num_of_first_cls, f.per_forget_cls, task)
+    test_open = None
+    if f.open_cls_num > 0:
+        # open classes live at the front of the order list and are never
+        # replayed (train_own_forget_cl_open.py:413-463)
+        (s1, e1), (s2, e2), (os_, oe) = open_task_windows(
+            f.num_of_first_cls, f.per_forget_cls, f.open_cls_num, task)
+        _, test_open = split_by_class_window(test_ds, order_list, 0, 0,
+                                             os_, oe)
+    else:
+        s1, e1, s2, e2 = task_windows(f.num_of_first_cls, f.per_forget_cls,
+                                      task)
     remain_train, forget_train = split_by_class_window(train_ds, order_list,
                                                        s1, e1, s2, e2)
     remain_test, forget_test = split_by_class_window(test_ds, order_list,
@@ -62,7 +73,8 @@ def split_task_data(cfg: RunConfig, train_ds: Dataset, test_ds: Dataset,
         forget_sub = ratio_subset(forget_train, f.data_ratio, seed)
         remain_sub = ratio_subset(remain_train, f.data_ratio, seed)
     data = ForgetData(train_forget=forget_sub, train_remain=remain_sub,
-                      test_forget=forget_test, test_remain=remain_test)
+                      test_forget=forget_test, test_remain=remain_test,
+                      test_open=test_open)
     test_old = None
     if task > 0:
         # already-forgotten classes from previous tasks:

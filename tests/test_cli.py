@@ -32,7 +32,7 @@ def _tiny_model(monkeypatch):
 
     monkeypatch.setattr(C, "config_from_args", patched)
     for mod in ("train_forget", "train_forget_cl", "train_pretrain",
-                "test_model"):
+                "test_model", "backbone_probe"):
         name = f"gslora_tpu.cli.{mod}"
         if name in sys.modules:
             monkeypatch.setattr(sys.modules[name], "config_from_args",
@@ -102,3 +102,26 @@ def test_pretrain_and_test_cli(tmp_path):
     ]))
     assert report2["test_acc"] > 0
     assert (tmp_path / "class_accuracy.txt").exists()
+
+
+def test_backbone_probe_cli(tmp_path):
+    from gslora_tpu.cli import backbone_probe
+    report = backbone_probe.main(_common_args(tmp_path, [
+        "-e", "2", "--lr", "1e-3",
+        "--num_of_first_cls", "6", "--per_forget_cls", "2",
+    ]))
+    assert report["backbone_frozen"] is True
+    assert report["head_trained"] is True
+    assert len(report["forget_acc_curve"]) == 2
+    assert (tmp_path / "forget_acc_curve.npy").exists()
+
+
+def test_train_forget_cl_cli_open_set(tmp_path):
+    from gslora_tpu.cli import train_forget_cl
+    report = train_forget_cl.main(_common_args(tmp_path, [
+        "--one_stage", "-e", "1", "--lr", "1e-3", "--BND", "10",
+        "--num_tasks", "2", "--num_of_first_cls", "5",
+        "--per_forget_cls", "1", "--open_cls_num", "2",
+        "--data_ratio", "1.0", "--cl_beta_list", "0.3", "0.3",
+    ]))
+    assert len(report) == 2

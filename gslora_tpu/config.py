@@ -48,6 +48,7 @@ class ViTConfig:
     # quirk); torchvision ViT-B/16 has qkv bias and standard head-dim scale.
     qkv_bias: bool = False
     attn_scale: str = "dim"  # "dim" | "dim_head"
+    attn_impl: str = "xla"  # "xla" | "pallas" (fused VMEM-resident kernel)
 
     @property
     def num_patches(self) -> int:

@@ -169,10 +169,18 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
     # vit_face quirk: dim**-0.5 (vit_face.py:346); "dim_head" = standard
     scale = (model.dim if model.attn_scale == "dim" else model.dim_head) \
         ** -0.5
-    dots = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
-    attn = jax.nn.softmax(dots.astype(jnp.float32), axis=-1).astype(cdt)
-    out = jnp.einsum("bhij,bhjd->bhid", attn, v)
-    out = rearrange(out, "b h n d -> b n (h d)")
+    if model.attn_impl == "pallas":
+        from gslora_tpu.ops.attention import fused_attention
+        b, hh, n, dh = q.shape
+        out = fused_attention(q.reshape(b * hh, n, dh),
+                              k.reshape(b * hh, n, dh),
+                              v.reshape(b * hh, n, dh), scale)
+        out = rearrange(out.reshape(b, hh, n, dh), "b h n d -> b n (h d)")
+    else:
+        dots = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+        attn = jax.nn.softmax(dots.astype(jnp.float32), axis=-1).astype(cdt)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = rearrange(out, "b h n d -> b n (h d)")
     out = jnp.einsum("bni,id->bnd", out, blk["attn_out"]["kernel"].astype(cdt))
     out = out + blk["attn_out"]["bias"].astype(cdt)
     out = _dropout(out, model.dropout, rngs[0] if rngs is not None else None,

@@ -1,0 +1,64 @@
+"""Fused Pallas attention vs the XLA path: forward + gradients (interpret
+mode on CPU), and the full-model attn_impl switch."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gslora_tpu.config import LoraConfig, ViTConfig
+from gslora_tpu.models.vit import init_vit_params, vit_apply
+from gslora_tpu.ops.attention import fused_attention
+
+
+def _xla_attn(q, k, v, scale):
+    dots = jnp.einsum("xid,xjd->xij", q, k) * scale
+    p = jax.nn.softmax(dots.astype(jnp.float32), -1).astype(q.dtype)
+    return jnp.einsum("xij,xjd->xid", p, v)
+
+
+def test_forward_matches_xla():
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(6, 17, 8).astype(np.float32))
+    k = jnp.asarray(rng.randn(6, 17, 8).astype(np.float32))
+    v = jnp.asarray(rng.randn(6, 17, 8).astype(np.float32))
+    out = fused_attention(q, k, v, 0.25)
+    want = _xla_attn(q, k, v, 0.25)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_xla():
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(4, 11, 8).astype(np.float32))
+    k = jnp.asarray(rng.randn(4, 11, 8).astype(np.float32))
+    v = jnp.asarray(rng.randn(4, 11, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(4, 11, 8).astype(np.float32))
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, 0.25) * w)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attn(q, k, v, 0.25) * w)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_model_attn_impl_switch():
+    cfg = ViTConfig(image_size=16, patch_size=8, dim=32, depth=2, heads=2,
+                    dim_head=16, mlp_dim=64, num_class=6, dropout=0.0,
+                    emb_dropout=0.0, head_type="Softmax")
+    lora = LoraConfig(rank=4)
+    params = init_vit_params(jax.random.key(0), cfg, lora)
+    x = jax.random.normal(jax.random.key(1), (2, 3, 16, 16))
+    y = jnp.array([0, 1])
+    l_xla, _ = vit_apply(params, x, y, cfg, lora, compute_dtype=jnp.float32)
+    cfg_p = dataclasses.replace(cfg, attn_impl="pallas")
+    l_pal, _ = vit_apply(params, x, y, cfg_p, lora,
+                         compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(l_xla), np.asarray(l_pal),
+                               rtol=2e-4, atol=2e-4)

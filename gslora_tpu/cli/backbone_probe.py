@@ -55,6 +55,8 @@ def make_head_only_step(model, lora, optimizer, compute_dtype):
 
 
 def main(argv=None):
+    from gslora_tpu.cli.common import setup_jax_runtime
+    setup_jax_runtime()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32

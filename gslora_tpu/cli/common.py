@@ -7,6 +7,25 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+
+def setup_jax_runtime(rng_impl: Optional[str] = None,
+                      cache_dir: Optional[str] = None) -> None:
+    """Driver-level runtime knobs: persistent compilation cache (first
+    compiles on tunneled TPUs run 1-2 minutes; cached reruns are instant)
+    and the PRNG implementation ('rbg' = hardware RNG, ~17ms/step cheaper
+    dropout on v5e than threefry)."""
+    cache = cache_dir or os.environ.get("GSLORA_COMPILE_CACHE",
+                                        os.path.expanduser(
+                                            "~/.cache/gslora_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    impl = rng_impl or os.environ.get("GSLORA_PRNG_IMPL")
+    if impl:
+        jax.config.update("jax_default_prng_impl", impl)
+
 from gslora_tpu.config import RunConfig
 from gslora_tpu.data.folders import Dataset, ImageFolderDataset
 from gslora_tpu.data.synthetic import synthetic_face_dataset

@@ -18,6 +18,8 @@ from gslora_tpu.models.vit import vit_apply
 
 
 def main(argv=None):
+    from gslora_tpu.cli.common import setup_jax_runtime
+    setup_jax_runtime()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32

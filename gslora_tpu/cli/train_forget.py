@@ -22,6 +22,8 @@ from gslora_tpu.metrics.logging import MetricLogger
 
 
 def main(argv=None):
+    from gslora_tpu.cli.common import setup_jax_runtime
+    setup_jax_runtime()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     f = cfg.forget

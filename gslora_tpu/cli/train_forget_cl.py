@@ -177,6 +177,8 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
 
 
 def main(argv=None):
+    from gslora_tpu.cli.common import setup_jax_runtime
+    setup_jax_runtime()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     train_ds, test_ds = build_datasets(cfg)

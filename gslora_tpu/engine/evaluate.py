@@ -33,12 +33,20 @@ def make_eval_step(model: ViTConfig, lora: LoraConfig,
 
 def eval_accuracy(eval_step, params, batches: Iterable[Tuple]) -> float:
     """Top-1 accuracy in percent over an iterable of (x, y) host batches
-    (reference engine.eval_data semantics)."""
-    correct = total = 0
+    (reference engine.eval_data semantics).
+
+    Counts stay on device until the end — a per-batch int() readback would
+    serialize dispatch against the device (and cost a full RTT per batch on
+    tunneled TPU platforms)."""
+    corrects = []
+    total = 0
     for x, y in batches:
         c, n = eval_step(params, x, y)
-        correct += int(c)
-        total += int(n)
+        corrects.append(c)
+        total += int(n)  # host-known batch size, no device sync
+    if not corrects:
+        return 0.0
+    correct = int(sum(corrects[1:], corrects[0]))
     return 100.0 * correct / max(total, 1)
 
 

@@ -49,6 +49,10 @@ class ViTConfig:
     qkv_bias: bool = False
     attn_scale: str = "dim"  # "dim" | "dim_head"
     attn_impl: str = "xla"  # "xla" | "pallas" (fused VMEM-resident kernel)
+    # rematerialize block activations in backward (jax.checkpoint on the
+    # scan body): trades ~33% more FLOPs for O(1)-in-depth activation
+    # memory — enables large-batch pretraining within one chip's HBM
+    remat: bool = False
 
     @property
     def num_patches(self) -> int:

@@ -17,6 +17,13 @@ class MetricLogger:
         self._jsonl = None
         if use_wandb:
             try:
+                # swanlab mirrors wandb when present (reference
+                # train_own_forget.py:9-11 swanlab.sync_wandb)
+                try:
+                    import swanlab
+                    swanlab.sync_wandb(wandb_run=False)
+                except ImportError:
+                    pass
                 import wandb
                 self._wandb = wandb
                 wandb.init(project=project, name=run_name, config=config)
@@ -47,3 +54,21 @@ class MetricLogger:
             self._wandb.finish()
         if self._jsonl is not None:
             self._jsonl.close()
+
+
+def make_run_name(cfg) -> str:
+    """Run name assembled from hyperparameters at exit, mirroring the
+    reference naming recipe (train_own_forget.py:844-877)."""
+    f = cfg.forget
+    parts = [
+        f"start{f.num_of_first_cls}", f"forget{f.per_forget_cls}",
+        f"lr{cfg.optim.lr}", f"beta{f.beta}", f"alpha{f.alpha}",
+        f"epoch{cfg.num_epoch}", f"BND{f.bnd}", f"rank{cfg.lora.rank}",
+    ]
+    if f.prototype:
+        parts += [f"fpweight{f.pro_f_weight}", f"rpweight{f.pro_r_weight}"]
+    if f.few_shot:
+        parts.append(f"few{f.few_shot_num}")
+    if f.average_weight:
+        parts.append(f"ema{f.ema_decay}@{f.ema_epoch}")
+    return "-".join(parts)

@@ -247,6 +247,8 @@ def transformer_stack(x: jax.Array, blocks: Params, lora_tree: Params,
         return y, None
 
     xs = (blocks, lora_tree if lora_tree else None, layer_rngs)
+    if model.remat:
+        body = jax.checkpoint(body)
     # scan over the stacked layer axis: traces the block body once
     x, _ = jax.lax.scan(body, x, xs, length=n_layers)
     return x

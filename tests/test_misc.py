@@ -1,0 +1,86 @@
+"""Odds and ends: ViTs soft-split model forward, run-name assembly,
+scalars_for_epoch schedules."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gslora_tpu.config import (ForgetConfig, LoraConfig, OptimConfig,
+                               RunConfig, ViTConfig)
+from gslora_tpu.engine.forget import scalars_for_epoch
+from gslora_tpu.metrics.logging import make_run_name
+from gslora_tpu.models.vit import init_vit_params, vit_apply
+
+
+def test_vits_soft_split_model_forward():
+    """ViTs_face config: overlapping unfold patches, same transformer."""
+    cfg = ViTConfig(image_size=32, patch_size=8, ac_patch_size=12, pad=4,
+                    soft_split=True, dim=32, depth=2, heads=2, dim_head=16,
+                    mlp_dim=64, num_class=6, dropout=0.0, emb_dropout=0.0,
+                    head_type="CosFace")
+    assert cfg.num_patches == 16
+    assert cfg.patch_dim == 3 * 144
+    lora = LoraConfig(rank=4)
+    params = init_vit_params(jax.random.key(0), cfg, lora)
+    assert params["base"]["patch"]["kernel"].shape == (432, 32)
+    x = jax.random.normal(jax.random.key(1), (2, 3, 32, 32))
+    logits, emb = vit_apply(params, x, jnp.array([0, 1]), cfg, lora,
+                            compute_dtype=jnp.float32)
+    assert logits.shape == (2, 6) and emb.shape == (2, 32)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_scalars_for_epoch_schedules():
+    cfg = RunConfig(forget=ForgetConfig(beta=0.15, alpha=0.01,
+                                        warmup_alpha=True, big_alpha=0.02,
+                                        alpha_epoch=5, beta_decay=True,
+                                        small_beta=0.05),
+                    optim=OptimConfig())
+    s0 = scalars_for_epoch(cfg, 0, lr=1e-2)
+    assert float(s0["alpha"]) == 0.0          # warmup: alpha off
+    assert float(s0["beta"]) == pytest.approx(0.15)
+    s6 = scalars_for_epoch(cfg, 6, lr=1e-2)
+    assert float(s6["alpha"]) == pytest.approx(0.02)         # big_alpha after alpha_epoch
+    s60 = scalars_for_epoch(cfg, 60, lr=1e-2)
+    assert float(s60["beta"]) == pytest.approx(0.05)         # beta decay at epoch >= 50
+    # plain gate (no warmup): structure loss off before alpha_epoch
+    cfg2 = RunConfig(forget=ForgetConfig(alpha=0.01, alpha_epoch=3))
+    assert float(scalars_for_epoch(cfg2, 1, lr=0)["alpha"]) == 0.0
+    assert float(scalars_for_epoch(cfg2, 3, lr=0)["alpha"]) == pytest.approx(0.01)
+    # per-task overrides
+    sb = scalars_for_epoch(cfg2, 3, lr=0, beta=0.4, w_pro_f=0.06)
+    assert float(sb["beta"]) == pytest.approx(0.4)
+    assert float(sb["w_pro_f"]) == pytest.approx(0.06)
+
+
+def test_make_run_name():
+    cfg = RunConfig(forget=ForgetConfig(prototype=True, few_shot=True,
+                                        average_weight=True))
+    name = make_run_name(cfg)
+    assert "start90" in name and "rank8" in name and "few4" in name
+    assert "ema0.9@50" in name
+
+
+def test_remat_matches_no_remat():
+    import dataclasses
+    cfg = ViTConfig(image_size=16, patch_size=8, dim=32, depth=2, heads=2,
+                    dim_head=16, mlp_dim=64, num_class=6, dropout=0.0,
+                    emb_dropout=0.0, head_type="Softmax")
+    lora = LoraConfig(rank=4)
+    params = init_vit_params(jax.random.key(0), cfg, lora)
+    x = jax.random.normal(jax.random.key(1), (2, 3, 16, 16))
+    y = jnp.array([0, 1])
+
+    from gslora_tpu.losses.classification import cross_entropy
+
+    def loss(lt, model):
+        logits, _ = vit_apply({"base": params["base"], "lora": lt}, x, y,
+                              model, lora, compute_dtype=jnp.float32)
+        return cross_entropy(logits, y)
+
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    g0 = jax.grad(lambda lt: loss(lt, cfg))(params["lora"])
+    g1 = jax.grad(lambda lt: loss(lt, cfg_r))(params["lora"])
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)

@@ -243,6 +243,8 @@ class RunConfig:
     compute_dtype: str = "bfloat16"  # matmul/activation dtype on TPU
     param_dtype: str = "float32"
     lora_apply: str = "factored"  # "factored" | "merged" (fold B@A per step)
+    structure_mode: str = "loss"  # "loss" (reference) | "prox" (Pallas)
+    fused_batch: bool = False  # one forward over [forget; remain]
     disp_freq: int = 5  # engine.py DISP_FREQ
     ver_freq: int = 100  # engine.py VER_FREQ (eval every N batches)
     num_epoch: int = 100

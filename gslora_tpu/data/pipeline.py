@@ -27,26 +27,35 @@ class BatchLoader:
 
     def __init__(self, dataset: Dataset, batch_size: int,
                  shuffle: bool = True, seed: int = 1337,
-                 pad_to_batch: bool = False, prefetch: int = 2):
+                 pad_to_batch: bool = False, prefetch: int = 2,
+                 drop_last: bool = False):
+        """The reference keeps ragged last batches (drop_last=False
+        everywhere) — same default here. A ragged tail costs one extra XLA
+        compile per distinct shape (minutes on tunneled TPUs), so real runs
+        can opt into ``pad_to_batch`` (wrap-around fill: the tail's loss
+        mean weights wrapped samples twice) or ``drop_last``."""
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.pad_to_batch = pad_to_batch
+        self.drop_last = drop_last
         self.prefetch = prefetch
         self._epoch = 0
 
     def __len__(self):
+        if self.drop_last:
+            return len(self.ds) // self.bs
         return (len(self.ds) + self.bs - 1) // self.bs
 
     def _assemble(self, idxs) -> Tuple[np.ndarray, np.ndarray]:
+        idxs = list(idxs)
+        if self.pad_to_batch and len(idxs) < self.bs:
+            need = self.bs - len(idxs)
+            idxs = idxs + [idxs[i % len(idxs)] for i in range(need)]
         imgs = np.stack([self.ds.decode(i) for i in idxs])
         labels = np.asarray([self.ds.samples[i][1] for i in idxs],
                             dtype=np.int32)
-        if self.pad_to_batch and len(idxs) < self.bs:
-            # pad with repeats + weight mask would change loss means; the
-            # reference keeps ragged last batches, so do the same by default
-            pass
         return imgs.astype(np.float32), labels
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -56,7 +65,8 @@ class BatchLoader:
             order = np.random.RandomState(
                 self.seed + self._epoch).permutation(n)
         self._epoch += 1
-        chunks = [order[i:i + self.bs] for i in range(0, n, self.bs)]
+        end = (n // self.bs) * self.bs if self.drop_last else n
+        chunks = [order[i:i + self.bs] for i in range(0, end, self.bs)]
         if self.prefetch <= 0:
             for c in chunks:
                 yield self._assemble(c)

@@ -92,7 +92,9 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
     opt = make_optimizer(cfg.optim)
     state = ForgetState.create(params, opt)
     step_fn = make_forget_step(model, lora, fcfg, opt, compute_dtype=cdt,
-                               lora_apply=cfg.lora_apply)
+                               lora_apply=cfg.lora_apply,
+                               structure_mode=cfg.structure_mode,
+                               fused_batch=cfg.fused_batch)
     eval_step = make_eval_step(model, lora, compute_dtype=cdt)
 
     # prototypes from the *pretrained* model over forget ∪ remain subsets

@@ -110,3 +110,12 @@ def test_image_folder(tmp_path):
     img = ds.decode(0)
     assert img.shape == (3, 16, 16)
     assert img.max() <= 1.0  # ToTensor scaling
+
+
+def test_batch_loader_pad_and_drop():
+    ds = synthetic_face_dataset(num_classes=2, per_class=5)  # 10 samples
+    padded = list(BatchLoader(ds, 4, seed=0, pad_to_batch=True, prefetch=0))
+    assert [b[1].shape[0] for b in padded] == [4, 4, 4]
+    dropped = list(BatchLoader(ds, 4, seed=0, drop_last=True, prefetch=0))
+    assert [b[1].shape[0] for b in dropped] == [4, 4]
+    assert len(BatchLoader(ds, 4, drop_last=True)) == 2

@@ -75,8 +75,8 @@ def test_train_forget_cl_cli_gs_lora(tmp_path):
     assert report[1]["old_acc"] is not None
 
 
-@pytest.mark.parametrize("flag", ["--l2", "--retrain", "--replay", "--Der",
-                                  "--FDR"])
+@pytest.mark.parametrize("flag", ["--l2", "--ewc", "--MAS", "--retrain",
+                                  "--replay", "--Lwf", "--Der", "--FDR"])
 def test_train_forget_cl_cli_baselines(tmp_path, flag):
     from gslora_tpu.cli import train_forget_cl
     report = train_forget_cl.main(_common_args(tmp_path, [

@@ -52,3 +52,15 @@ def test_best_h_retention(tmp_path):
     ckpts = list(tmp_path.glob("*.msgpack"))
     assert len(ckpts) == 2  # pruned to keep=2
     assert (tmp_path / "config.txt").exists()
+
+
+def test_orbax_roundtrip(tmp_path):
+    import pytest
+    ocp = pytest.importorskip("orbax.checkpoint")
+    from gslora_tpu.checkpoints.orbax_io import load_orbax, save_orbax
+    params = init_vit_params(jax.random.key(3), CFG, LORA)
+    path = str(tmp_path / "orbax_ckpt")
+    save_orbax(path, params)
+    back = load_orbax(path, params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

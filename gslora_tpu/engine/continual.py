@@ -11,7 +11,7 @@ at the next task start (:523-536, :1696-1714) — here that is the pure fold
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional
+from typing import Any, List, Optional
 
 import jax
 

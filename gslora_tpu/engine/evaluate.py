@@ -7,7 +7,6 @@ low-rank, so no copy/merge is needed.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Iterable, Tuple
 
 import jax

@@ -10,7 +10,6 @@ train_own_forget.py:723-732, cl_beta_list) never trigger recompiles.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

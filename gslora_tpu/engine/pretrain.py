@@ -6,7 +6,6 @@ train_own.py:385-386).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Optional
 
 import jax

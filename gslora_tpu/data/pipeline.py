@@ -90,6 +90,46 @@ class BatchLoader:
             yield item
 
 
+class DevicePrefetcher:
+    """Keep N batches already transferred to the device while the current
+    step runs — the host->HBM analogue of the reference's CUDA-stream
+    double buffering (util/data_prefetcher.py), built on JAX's async
+    device_put. Wraps any (x, y) iterator."""
+
+    def __init__(self, it: Iterator, depth: int = 2, sharding=None):
+        import jax
+        self._jax = jax
+        self._it = iter(it)
+        self._sharding = sharding
+        self._buf: list = []
+        self._depth = max(depth, 1)
+        self._fill()
+
+    def _put(self, batch):
+        x, y = batch
+        if self._sharding is not None:
+            return (self._jax.device_put(x, self._sharding),
+                    self._jax.device_put(y, self._sharding))
+        return self._jax.device_put(x), self._jax.device_put(y)
+
+    def _fill(self):
+        while len(self._buf) < self._depth:
+            try:
+                self._buf.append(self._put(next(self._it)))
+            except StopIteration:
+                break
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if not self._buf:
+            raise StopIteration
+        batch = self._buf.pop(0)
+        self._fill()
+        return batch
+
+
 class CyclingLoader:
     """Endless stream over a BatchLoader: restarts (with a fresh shuffle)
     whenever exhausted — the reference's prefetcher-recreate dance

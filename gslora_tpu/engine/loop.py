@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from gslora_tpu.checkpoints.io import BestHCheckpointer
 from gslora_tpu.config import RunConfig
 from gslora_tpu.data.folders import Dataset
-from gslora_tpu.data.pipeline import BatchLoader, CyclingLoader
+from gslora_tpu.data.pipeline import BatchLoader, CyclingLoader, \
+    DevicePrefetcher
 from gslora_tpu.engine.ema import ema_init, ema_update
 from gslora_tpu.engine.evaluate import eval_accuracy, h_mean, make_eval_step
 from gslora_tpu.engine.forget import make_forget_step, scalars_for_epoch
@@ -75,6 +76,7 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
     logger = logger or MetricLogger()
     seed = cfg.data.seed + seed_offset
 
+    batch_sh = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
         from gslora_tpu.parallel.mesh import batch_sharding
@@ -82,12 +84,11 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
         params = jax.device_put(params, repl)
         batch_sh = batch_sharding(mesh)
 
-        def put_batch(x, y):
+    def put_batch(x, y):
+        if batch_sh is not None:
             return (jax.device_put(jnp.asarray(x), batch_sh),
                     jax.device_put(jnp.asarray(y), batch_sh))
-    else:
-        def put_batch(x, y):
-            return jnp.asarray(x), jnp.asarray(y)
+        return jnp.asarray(x), jnp.asarray(y)
 
     opt = make_optimizer(cfg.optim)
     state = ForgetState.create(params, opt)
@@ -173,7 +174,10 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
             driver, cycler = loader_f, CyclingLoader(loader_r)
         else:
             driver, cycler = loader_r, CyclingLoader(loader_f)
-        for xd, yd in driver:
+        # the driver stream stays 2 batches ahead ON DEVICE (async H2D
+        # overlaps the previous step — the CUDA-stream prefetcher analogue)
+        for xd, yd in DevicePrefetcher(iter(driver), depth=2,
+                                       sharding=batch_sh):
             xc, yc = cycler.next()
             if forget_drives:
                 xf, yf, xr, yr = xd, yd, xc, yc

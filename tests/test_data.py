@@ -119,3 +119,13 @@ def test_batch_loader_pad_and_drop():
     dropped = list(BatchLoader(ds, 4, seed=0, drop_last=True, prefetch=0))
     assert [b[1].shape[0] for b in dropped] == [4, 4]
     assert len(BatchLoader(ds, 4, drop_last=True)) == 2
+
+
+def test_device_prefetcher():
+    from gslora_tpu.data.pipeline import DevicePrefetcher
+    ds = synthetic_face_dataset(num_classes=2, per_class=6)
+    dl = BatchLoader(ds, 4, seed=0, prefetch=0)
+    batches = list(DevicePrefetcher(iter(dl), depth=2))
+    assert sum(b[1].shape[0] for b in batches) == 12
+    import jax
+    assert isinstance(batches[0][0], jax.Array)

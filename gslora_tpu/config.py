@@ -133,11 +133,11 @@ class ForgetConfig:
     group_pos: str = "FFN"  # FFN | Attention
     # alpha warmup (train_own_forget.py:723-727)
     warmup_alpha: bool = False
-    big_alpha: float = 0.0
-    alpha_epoch: int = 5  # structure loss gated by epoch >= ALPHA_EPOCH
+    big_alpha: float = 1e-4
+    alpha_epoch: int = 20  # structure loss gated by epoch >= ALPHA_EPOCH
     # beta decay (train_own_forget.py:728-732)
     beta_decay: bool = False
-    small_beta: float = 0.0
+    small_beta: float = 1e-4
     # prototype regularizer (GS-LoRA++, engine.py:690-722)
     prototype: bool = False
     pro_f_weight: float = 0.0
@@ -148,7 +148,7 @@ class ForgetConfig:
     aug_num: int = 0  # RandAugment magnitude for prototype replication
     # EMA (train_own_forget.py:783-826)
     average_weight: bool = False
-    ema_decay: float = 0.9
+    ema_decay: float = 0.99  # args default; recipes pass 0.9
     ema_epoch: int = 50
     # continual
     num_tasks: int = 1
@@ -298,10 +298,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min_alpha", default=0.0, type=float)
     p.add_argument("--group_type", default="block", type=str)
     p.add_argument("--warmup_alpha", action="store_true")
-    p.add_argument("--big_alpha", default=0.0, type=float)
-    p.add_argument("--alpha_epoch", default=5, type=int)
+    p.add_argument("--big_alpha", default=1e-4, type=float)
+    p.add_argument("--alpha_epoch", default=20, type=int)
     p.add_argument("--beta_decay", action="store_true")
-    p.add_argument("--small_beta", default=0.0, type=float)
+    p.add_argument("--small_beta", default=1e-4, type=float)
     # prototype
     p.add_argument("--prototype", action="store_true")
     p.add_argument("--pro_f_weight", default=0.0, type=float)
@@ -310,7 +310,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--aug_num", default=0, type=int)
     # EMA
     p.add_argument("--average_weight", action="store_true")
-    p.add_argument("--ema_decay", default=0.9, type=float)
+    p.add_argument("--ema_decay", default=0.99, type=float)
     p.add_argument("--ema_epoch", default=50, type=int)
     # continual
     p.add_argument("--num_tasks", default=1, type=int)

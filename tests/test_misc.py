@@ -58,7 +58,7 @@ def test_make_run_name():
                                         average_weight=True))
     name = make_run_name(cfg)
     assert "start90" in name and "rank8" in name and "few4" in name
-    assert "ema0.9@50" in name
+    assert "ema0.99@50" in name
 
 
 def test_remat_matches_no_remat():

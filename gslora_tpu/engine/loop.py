@@ -166,10 +166,12 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
         last.update(forget_acc=facc, remain_acc=racc, open_acc=oacc)
         history.append({"epoch": epoch, "batch": batch, **payload})
 
+    import time as _time
     for epoch in range(cfg.num_epoch):
         lr = timm_cosine_lr(cfg.optim, epoch)
         scalars = scalars_for_epoch(cfg, epoch, lr=lr, beta=beta,
                                     w_pro_f=pro_f_weight)
+        ep_t0, ep_images = _time.perf_counter(), 0
         if forget_drives:
             driver, cycler = loader_f, CyclingLoader(loader_r)
         else:
@@ -194,6 +196,12 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
             if (batch + 1) % cfg.ver_freq == 0:
                 run_eval(epoch)
             batch += 1
+            ep_images += int(xf.shape[0]) + int(xr.shape[0])
+        # per-epoch throughput tap (SURVEY §5.1: images/sec/chip headline)
+        dt = _time.perf_counter() - ep_t0
+        if dt > 0 and ep_images:
+            logger.log({"images_per_sec": ep_images / dt,
+                        "epoch": epoch, "lr": lr}, step=batch)
 
         # EMA of the merged model (train_own_forget.py:783-826)
         if fcfg.average_weight:

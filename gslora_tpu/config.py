@@ -361,6 +361,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--mesh_data", default=-1, type=int)
     p.add_argument("--mesh_model", default=1, type=int)
+    # TPU execution modes (gslora_tpu additions; defaults reference-faithful)
+    p.add_argument("--lora_apply", default="factored", type=str,
+                   choices=["factored", "merged"])
+    p.add_argument("--structure_mode", default="loss", type=str,
+                   choices=["loss", "prox"])
+    p.add_argument("--fused_batch", action="store_true")
+    p.add_argument("--remat", action="store_true")
     return p
 
 
@@ -391,6 +398,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
 
     imagenet = args.data_mode == "imagenet100"
     model = ViTConfig(
+        remat=args.remat,
         image_size=224 if imagenet else 112,
         patch_size=16 if imagenet else 8,
         dim=768 if args.net == "VIT_B16" else 512,
@@ -458,6 +466,9 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
         resume=args.resume, outdir=args.outdir,
         compute_dtype=args.compute_dtype,
+        lora_apply=args.lora_apply,
+        structure_mode=args.structure_mode,
+        fused_batch=args.fused_batch,
         num_epoch=args.epochs,
         log_wandb=args.wandb,
     )

@@ -196,6 +196,7 @@ def main(argv=None):
             "forget_acc": t.result.forget_acc,
             "remain_acc": t.result.remain_acc, "old_acc": t.old_acc,
             "best_H_mean": t.result.best_h, "norm_list": t.result.norm_list,
+            "time_to_forget_s": round(t.result.wallclock_s, 2),
         } for t in out.tasks]
     else:
         report, _ = run_baseline_continual(cfg, params, train_ds, test_ds,

@@ -55,6 +55,7 @@ class ForgetResult:
     norm_list: List[float] = field(default_factory=list)
     ema: Any = None
     history: List[Dict] = field(default_factory=list)
+    wallclock_s: float = 0.0  # time-to-forget (BASELINE.json metric)
 
 
 def _dtype(cfg: RunConfig):
@@ -167,6 +168,7 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
         history.append({"epoch": epoch, "batch": batch, **payload})
 
     import time as _time
+    run_t0 = _time.perf_counter()
     for epoch in range(cfg.num_epoch):
         lr = timm_cosine_lr(cfg.optim, epoch)
         scalars = scalars_for_epoch(cfg, epoch, lr=lr, beta=beta,
@@ -226,4 +228,5 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
     return ForgetResult(
         state=state, best_h=best_h, forget_acc_before=forget_acc_before,
         forget_acc=last["forget_acc"], remain_acc=last["remain_acc"],
-        open_acc=last["open_acc"], norm_list=norms, ema=ema, history=history)
+        open_acc=last["open_acc"], norm_list=norms, ema=ema, history=history,
+        wallclock_s=_time.perf_counter() - run_t0)

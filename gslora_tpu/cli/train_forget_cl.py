@@ -187,10 +187,16 @@ def main(argv=None):
     logger = MetricLogger(use_wandb=cfg.log_wandb, outdir=cfg.outdir,
                           config=json.loads(cfg.to_json()))
 
+    # data-parallel mesh is opt-in (--dp): batch sizes must divide the
+    # data-axis size (use --batch_size accordingly / pad_to_batch)
+    mesh = None
+    if getattr(args, "dp", False) and len(jax.devices()) > 1:
+        from gslora_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(cfg.mesh)
     if cfg.baseline.method == "gs_lora" or args.one_stage:
         out = run_continual_forgetting(cfg, params, train_ds, test_ds,
                                        order, logger=logger,
-                                       workdir=cfg.outdir)
+                                       workdir=cfg.outdir, mesh=mesh)
         report = [{
             "task": t.task, "forget_acc_before": t.result.forget_acc_before,
             "forget_acc": t.result.forget_acc,

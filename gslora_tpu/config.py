@@ -368,6 +368,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["loss", "prox"])
     p.add_argument("--fused_batch", action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--dp", action="store_true",
+                   help="data-parallel over all devices (mesh)")
     return p
 
 

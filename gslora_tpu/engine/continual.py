@@ -87,9 +87,10 @@ def split_task_data(cfg: RunConfig, train_ds: Dataset, test_ds: Dataset,
 def run_continual_forgetting(cfg: RunConfig, params, train_ds: Dataset,
                              test_ds: Dataset, order_list: List[int],
                              logger: Optional[MetricLogger] = None,
-                             workdir: Optional[str] = None
-                             ) -> ContinualResult:
-    """GS-LoRA(++) over cfg.forget.num_tasks tasks."""
+                             workdir: Optional[str] = None,
+                             mesh=None) -> ContinualResult:
+    """GS-LoRA(++) over cfg.forget.num_tasks tasks. ``mesh``: optional
+    device mesh for data-parallel task training (see run_forget_training)."""
     logger = logger or MetricLogger()
     model, lora, f = cfg.model, cfg.lora, cfg.forget
     cdt = _dtype(cfg)
@@ -131,7 +132,7 @@ def run_continual_forgetting(cfg: RunConfig, params, train_ds: Dataset,
             cfg, params, data, logger=logger,
             workdir=f"{workdir}/task_{task}" if workdir else None,
             protos=protos, beta=beta, pro_f_weight=w_pro_f,
-            seed_offset=task * 1000)
+            seed_offset=task * 1000, mesh=mesh)
         params = {"base": res.state.base, "lora": res.state.lora}
 
         old_acc = None

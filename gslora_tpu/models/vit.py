@@ -273,6 +273,12 @@ def vit_embed(params: Params, images: jax.Array, model: ViTConfig,
     At rank 8 the fold costs ~0.1 GFLOP while removing 4 skinny MXU-hostile
     matmuls per block from both forward and backward — the faster mode for
     training on TPU ("Run LoRA Run"-style).
+
+    Precision note: with bf16 base params, "merged" quantizes the fold to
+    the kernel dtype, so delta components below the base weight's bf16 ulp
+    round away in the forward (gradients are unaffected — the cast's VJP is
+    identity). Keep fp32 base params (the default) when using "merged" for
+    accuracy-critical runs.
     """
     base = params["base"]
     lora_tree = params.get("lora", {})

@@ -125,13 +125,23 @@ def test_distill_family(setup, method):
 
 def test_scrub(setup):
     params, forget_tr, remain_tr, forget_te, remain_te = setup
-    fl, rl, tbf, tbr = _loaders(forget_tr, remain_tr, forget_te, remain_te,
-                                relabel=False)  # SCRUB uses true labels
-    cfg = _cfg("scrub")
+    # SCRUB uses true labels and the FULL (unsubsampled) forget set
+    fl = BatchLoader(forget_tr, 8, seed=1)
+    rl = BatchLoader(remain_tr, 8, seed=2)
+    tbf = lambda: BatchLoader(forget_te, 24, shuffle=False, prefetch=0)  # noqa: E731
+    tbr = lambda: BatchLoader(remain_te, 24, shuffle=False, prefetch=0)  # noqa: E731
+    cfg = RunConfig(
+        model=MODEL, lora=LORA,
+        baseline=BaselineConfig(method="scrub", scrub_superepoch=5,
+                                sgda_learning_rate=2e-3, sgda_gamma=0.99,
+                                sgda_alpha=0.001),
+        data=DataConfig(batch_size=8), compute_dtype="float32")
     out = run_scrub_task(cfg, params, lambda: iter(fl), lambda: iter(rl),
                          tbf, tbr)
-    assert np.isfinite(out["best_h"])
-    assert out["remain_acc"] > 50.0
+    # max/min KD schedule escapes the student==teacher saddle and forgets
+    assert out["forget_acc"] < out["forget_acc_before"]
+    assert out["remain_acc"] > 80.0
+    assert out["best_h"] > 0
 
 
 def test_lirf(setup):

@@ -27,6 +27,7 @@ from gslora_tpu.baselines.scrub import run_scrub_task
 from gslora_tpu.checkpoints.io import save_task_checkpoint
 from gslora_tpu.config import RunConfig, build_parser, config_from_args
 from gslora_tpu.cli.common import build_datasets, build_params
+from gslora_tpu.data.folders import ConcatDataset as _ConcatDataset
 from gslora_tpu.data.pipeline import BatchLoader, CyclingLoader
 from gslora_tpu.data.splits import (few_shot_subset, make_order_list,
                                     random_relabel, ratio_subset,
@@ -35,23 +36,6 @@ from gslora_tpu.engine.continual import run_continual_forgetting
 from gslora_tpu.engine.evaluate import eval_accuracy, make_eval_step
 from gslora_tpu.engine.loop import _dtype
 from gslora_tpu.metrics.logging import MetricLogger
-
-
-class _ConcatDataset:
-    """Concat of two datasets preserving the decode protocol."""
-
-    def __init__(self, a, b):
-        self.a, self.b = a, b
-        self.samples = list(a.samples) + list(b.samples)
-        self.targets = list(a.targets) + list(b.targets)
-        self.classes = a.classes
-
-    def __len__(self):
-        return len(self.samples)
-
-    def decode(self, idx):
-        return self.a.decode(idx) if idx < len(self.a) else \
-            self.b.decode(idx - len(self.a))
 
 
 def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,

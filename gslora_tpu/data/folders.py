@@ -121,6 +121,23 @@ class SubsetDataset(Dataset):
         return self.parent.decode(self.indices[idx])
 
 
+class ConcatDataset(Dataset):
+    """Concatenation preserving the decode protocol (torch ConcatDataset
+    analogue used by Replay, train_own_forget_cl.py:691-695)."""
+
+    def __init__(self, a: Dataset, b: Dataset):
+        self.a, self.b = a, b
+        self.samples = list(a.samples) + list(b.samples)
+        self.targets = list(a.targets) + list(b.targets)
+        self.classes = a.classes
+        self.class_to_idx = getattr(a, "class_to_idx", {})
+
+    def decode(self, idx: int) -> np.ndarray:
+        if idx < len(self.a):
+            return self.a.decode(idx)
+        return self.b.decode(idx - len(self.a))
+
+
 class PathListDataset(Dataset):
     """Path-list dataset (reference ImageNet900Dataset, image_iter.py:140-159):
     entries are (image_path, label) pairs with the ImageNet eval transform —

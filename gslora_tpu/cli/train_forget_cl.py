@@ -30,8 +30,9 @@ from gslora_tpu.cli.common import build_datasets, build_params
 from gslora_tpu.data.folders import ConcatDataset as _ConcatDataset
 from gslora_tpu.data.pipeline import BatchLoader, CyclingLoader
 from gslora_tpu.data.splits import (few_shot_subset, make_order_list,
-                                    random_relabel, ratio_subset,
-                                    split_by_class_window, task_windows)
+                                    open_task_windows, random_relabel,
+                                    ratio_subset, split_by_class_window,
+                                    task_windows)
 from gslora_tpu.engine.continual import run_continual_forgetting
 from gslora_tpu.engine.evaluate import eval_accuracy, make_eval_step
 from gslora_tpu.engine.loop import _dtype
@@ -53,8 +54,15 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
            "mas": b.mas_lambda}.get(method, 0.0)
 
     for task in range(f.num_tasks):
-        s1, e1, s2, e2 = task_windows(f.num_of_first_cls, f.per_forget_cls,
-                                      task)
+        open_te = None
+        if f.open_cls_num > 0:
+            # open classes at the order-list front, never replayed
+            (s1, e1), (s2, e2), (os_, oe) = open_task_windows(
+                f.num_of_first_cls, f.per_forget_cls, f.open_cls_num, task)
+            _, open_te = split_by_class_window(test_ds, order, 0, 0, os_, oe)
+        else:
+            s1, e1, s2, e2 = task_windows(f.num_of_first_cls,
+                                          f.per_forget_cls, task)
         remain_tr, forget_tr = split_by_class_window(train_ds, order, s1, e1,
                                                      s2, e2)
         remain_te, forget_te = split_by_class_window(test_ds, order, s1, e1,
@@ -74,6 +82,10 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
                                   prefetch=0)
         tbr = lambda: BatchLoader(remain_te, test_bs, shuffle=False,  # noqa: E731
                                   prefetch=0)
+        tbo = None
+        if open_te is not None and len(open_te):
+            tbo = lambda: BatchLoader(open_te, test_bs, shuffle=False,  # noqa: E731
+                                      prefetch=0)
         relabeled = random_relabel(forget_sub, cfg.model.num_class,
                                    seed=cfg.data.seed + task)
         fl = BatchLoader(relabeled, bs, seed=cfg.data.seed + task)
@@ -88,7 +100,8 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
                     method, params, imp_batches, cfg.model, cfg.lora, cdt))
             out = run_regularization_task(
                 cfg, params, lambda: iter(fl), tbf, tbr, lam=lam,
-                anchors=anchors, importances=importances, logger=logger)
+                anchors=anchors, importances=importances, logger=logger,
+                test_batches_open=tbo)
             params = out["params"]
             if task < f.num_tasks - 1:
                 anchors.append(params)
@@ -114,13 +127,14 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
         elif method in ("lwf", "der", "der_plus", "fdr"):
             out = run_distill_task(cfg, params, params, lambda: iter(fl),
                                    CyclingLoader(rl), tbf, tbr,
-                                   logger=logger)
+                                   logger=logger, test_batches_open=tbo)
             params = out["params"]
         elif method == "scrub":
             # SCRUB uses TRUE labels on the forget set
             fl_true = BatchLoader(forget_sub, bs, seed=cfg.data.seed + task)
             out = run_scrub_task(cfg, params, lambda: iter(fl_true),
-                                 lambda: iter(rl), tbf, tbr, logger=logger)
+                                 lambda: iter(rl), tbf, tbr, logger=logger,
+                                 test_batches_open=tbo)
             params = out["params"]
         elif method == "lirf":
             out = run_lirf_task(cfg, params, lambda: iter(fl),

@@ -125,3 +125,14 @@ def test_train_forget_cl_cli_open_set(tmp_path):
         "--data_ratio", "1.0", "--cl_beta_list", "0.3", "0.3",
     ]))
     assert len(report) == 2
+
+
+def test_train_forget_cl_cli_baseline_open_set(tmp_path):
+    from gslora_tpu.cli import train_forget_cl
+    report = train_forget_cl.main(_common_args(tmp_path, [
+        "--l2", "-e", "1", "--lr", "1e-3",
+        "--num_tasks", "1", "--num_of_first_cls", "5",
+        "--per_forget_cls", "1", "--open_cls_num", "2",
+        "--data_ratio", "1.0",
+    ]))
+    assert report[0]["open_acc"] is not None

@@ -122,6 +122,20 @@ def write_recordio(path: str, records: List[Tuple[np.ndarray, bytes]],
             f.write(f"{k}\t{offsets[k]}\n")
 
 
+def get_val_data(data_path: str, targets, image_size: int = 112):
+    """Load several verification-pair sets by name (util/utils.py:60-75
+    get_val_data): returns [(name, (imgs, flipped), issame), ...] for each
+    <data_path>/<name>.bin present."""
+    import os
+    out = []
+    for name in targets:
+        p = os.path.join(data_path, f"{name}.bin")
+        if os.path.exists(p):
+            data_set, issame = load_bin(p, image_size)
+            out.append((name, data_set, issame))
+    return out
+
+
 def load_bin(path: str, image_size: int = 112
              ) -> Tuple[Tuple[np.ndarray, np.ndarray], List[bool]]:
     """Verification-pair .bin loader (util/utils.py:38-57): a pickle of

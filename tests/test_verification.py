@@ -108,3 +108,22 @@ def test_recordio_roundtrip(tmp_path):
     assert imgs.shape == (4, 3, 112, 112)
     np.testing.assert_allclose(flipped, imgs[:, :, :, ::-1])
     assert issame == [True, False]
+
+
+def test_get_val_data(tmp_path):
+    from PIL import Image
+    from gslora_tpu.data.recordio import get_val_data
+    rng = np.random.RandomState(7)
+    for name in ("lfw", "cfp_ff"):
+        bins = []
+        for _ in range(2):
+            img = Image.fromarray((rng.rand(112, 112, 3) * 255)
+                                  .astype(np.uint8))
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG")
+            bins.append(buf.getvalue())
+        with open(tmp_path / f"{name}.bin", "wb") as f:
+            pickle.dump((bins, [True]), f)
+    sets = get_val_data(str(tmp_path), ["lfw", "cfp_ff", "missing"])
+    assert [s[0] for s in sets] == ["lfw", "cfp_ff"]
+    assert sets[0][1][0].shape == (2, 3, 112, 112)

@@ -104,9 +104,15 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
                 test_batches_open=tbo)
             params = out["params"]
             if task < f.num_tasks - 1:
+                # next-task importance over the NEXT task's FULL remain
+                # split (cl.py:1637-1692)
                 anchors.append(params)
-                imp_batches = list(BatchLoader(remain_sub, bs, shuffle=False,
-                                               prefetch=0))
+                ns1, ne1, _, _ = task_windows(
+                    f.num_of_first_cls, f.per_forget_cls, task + 1)
+                next_remain, _ = split_by_class_window(train_ds, order,
+                                                       ns1, ne1, 0, 0)
+                imp_batches = list(BatchLoader(next_remain, bs,
+                                               shuffle=False, prefetch=0))
                 importances.append(estimate_importance(
                     method, params, imp_batches, cfg.model, cfg.lora, cdt))
         elif method == "retrain":

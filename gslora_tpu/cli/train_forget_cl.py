@@ -121,14 +121,16 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
                           data=cfg.data), seed=cfg.data.seed + 7 + task)
             out = run_regularization_task(
                 cfg, fresh, lambda: iter(rl), tbf, tbr, lam=0.0,
-                anchors=[], importances=[], logger=logger)
+                anchors=[], importances=[], logger=logger,
+                test_batches_open=tbo)
             params = out["params"]
         elif method == "replay":
             total = _ConcatDataset(relabeled, remain_sub)
             tl = BatchLoader(total, bs, seed=cfg.data.seed + task)
             out = run_regularization_task(
                 cfg, params, lambda: iter(tl), tbf, tbr, lam=0.0,
-                anchors=[], importances=[], logger=logger)
+                anchors=[], importances=[], logger=logger,
+                test_batches_open=tbo)
             params = out["params"]
         elif method in ("lwf", "der", "der_plus", "fdr"):
             out = run_distill_task(cfg, params, params, lambda: iter(fl),

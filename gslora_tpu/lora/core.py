@@ -181,20 +181,29 @@ def group_lasso(lora_tree: LoraTree, group_type: str = "block",
     """
     if not lora_tree:
         return jnp.float32(0.0)
+    # eps inside the sqrt keeps the subgradient finite for all-zero groups
+    # (B=0 at init): d/dp sqrt(sum p^2 + eps) = p/sqrt(.) = 0 at p = 0.
+    # The reference's torch sqrt produces inf/NaN grads there and only
+    # avoids it via the ALPHA_EPOCH gate; value shift is sqrt(eps) = 1e-6.
+    eps = 1e-12
+
+    def root(s):
+        return jnp.sqrt(s + eps)
+
     if group_pos == "FFN":
         f = lora_tree["ffn"]
         sq = {k: _per_layer_sq(v) for k, v in f.items()}
         if group_type == "block":
-            return jnp.sum(jnp.sqrt(sq["A1"] + sq["B1"] + sq["A2"] + sq["B2"]))
+            return jnp.sum(root(sq["A1"] + sq["B1"] + sq["A2"] + sq["B2"]))
         if group_type == "lora":
-            return jnp.sum(jnp.sqrt(sq["A1"] + sq["B1"])) + jnp.sum(
-                jnp.sqrt(sq["A2"] + sq["B2"]))
+            return jnp.sum(root(sq["A1"] + sq["B1"])) + jnp.sum(
+                root(sq["A2"] + sq["B2"]))
         if group_type == "matrix":
-            return sum(jnp.sum(jnp.sqrt(s)) for s in sq.values())
+            return sum(jnp.sum(root(s)) for s in sq.values())
         raise ValueError("group_type should be block or lora or matrix")
     if group_pos == "Attention":
         a = lora_tree["attn"]
-        return jnp.sum(jnp.sqrt(_per_layer_sq(a["A"]) + _per_layer_sq(a["B"])))
+        return jnp.sum(root(_per_layer_sq(a["A"]) + _per_layer_sq(a["B"])))
     raise ValueError(f"unknown group_pos {group_pos}")
 
 

@@ -1,0 +1,79 @@
+"""Uncovered configuration branches: Attention-placement LoRA training,
+lora/matrix group types in the step, mean pooling, step LR schedule."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gslora_tpu.config import (ForgetConfig, LoraConfig, OptimConfig,
+                               ViTConfig)
+from gslora_tpu.engine.forget import make_forget_step
+from gslora_tpu.engine.schedule import timm_cosine_lr
+from gslora_tpu.engine.state import ForgetState, make_optimizer
+from gslora_tpu.models.vit import init_vit_params, vit_apply
+
+CFG = ViTConfig(image_size=16, patch_size=8, dim=32, depth=2, heads=2,
+                dim_head=16, mlp_dim=64, num_class=6, dropout=0.0,
+                emb_dropout=0.0, head_type="Softmax")
+
+
+def _run_steps(cfg, lora, fcfg, n=3):
+    params = init_vit_params(jax.random.key(0), cfg, lora)
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-3))
+    state = ForgetState.create(params, opt)
+    step = make_forget_step(cfg, lora, fcfg, opt, compute_dtype=jnp.float32,
+                            use_prototype=False)
+    x = jax.random.normal(jax.random.key(1), (4, 3, 16, 16))
+    yf = jnp.array([4, 5, 4, 5])
+    yr = jnp.array([0, 1, 2, 3])
+    protos = jnp.zeros((6, 32))
+    sc = {k: jnp.float32(v) for k, v in dict(
+        beta=0.3, alpha=0.01, lr=1e-3, bnd=10.0, bnd_pro=18.0, w_pro_f=0.0,
+        w_pro_r=0.0).items()}
+    m = None
+    for i in range(n):
+        state, m = step(state, x, yf, x, yr, protos, sc, jax.random.key(i))
+    return state, m
+
+
+def test_attention_placement_lora_trains():
+    lora = LoraConfig(rank=4, pos="Attention")
+    fcfg = ForgetConfig(group_pos="Attention", alpha_epoch=0)
+    state, m = _run_steps(CFG, lora, fcfg)
+    assert np.isfinite(float(m["loss_total"]))
+    # attention LoRA moved
+    assert float(jnp.abs(state.lora["attn"]["B"]).max()) > 0
+
+
+@pytest.mark.parametrize("group_type", ["lora", "matrix"])
+def test_group_type_variants_in_step(group_type):
+    lora = LoraConfig(rank=4)
+    fcfg = ForgetConfig(group_type=group_type, alpha_epoch=0)
+    state, m = _run_steps(CFG, lora, fcfg)
+    assert np.isfinite(float(m["loss_structure"]))
+
+
+def test_mean_pooling_forward():
+    cfg = dataclasses.replace(CFG, pool="mean")
+    lora = LoraConfig(rank=4)
+    params = init_vit_params(jax.random.key(0), cfg, lora)
+    x = jax.random.normal(jax.random.key(1), (2, 3, 16, 16))
+    logits, emb = vit_apply(params, x, jnp.array([0, 1]), cfg, lora,
+                            compute_dtype=jnp.float32)
+    assert emb.shape == (2, 32)
+    # mean pool differs from CLS pool
+    logits_cls, _ = vit_apply(params, x, jnp.array([0, 1]), CFG, lora,
+                              compute_dtype=jnp.float32)
+    assert float(jnp.abs(logits - logits_cls).max()) > 1e-5
+
+
+def test_step_schedule():
+    oc = OptimConfig(lr=1e-2, sched="step", warmup_epochs=0,
+                     decay_epochs=10, decay_rate=0.1, min_lr=1e-6)
+    assert timm_cosine_lr(oc, 0) == 1e-2
+    assert abs(timm_cosine_lr(oc, 10) - 1e-3) < 1e-9
+    assert abs(timm_cosine_lr(oc, 25) - 1e-4) < 1e-9
+    oc2 = OptimConfig(lr=1e-2, sched="constant", warmup_epochs=0)
+    assert timm_cosine_lr(oc2, 5) == 1e-2

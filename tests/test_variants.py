@@ -77,3 +77,42 @@ def test_step_schedule():
     assert abs(timm_cosine_lr(oc, 25) - 1e-4) < 1e-9
     oc2 = OptimConfig(lr=1e-2, sched="constant", warmup_epochs=0)
     assert timm_cosine_lr(oc2, 5) == 1e-2
+
+
+def test_sface_pretrain_step():
+    """SFace head uses its internal loss in pretraining
+    (train_own.py SFace branch)."""
+    from gslora_tpu.engine.pretrain import PretrainState, make_pretrain_step
+    cfg = dataclasses.replace(CFG, head_type="SFace")
+    lora = LoraConfig(rank=0)
+    params = init_vit_params(jax.random.key(0), cfg, lora)
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-3))
+    state = PretrainState.create(params, opt)
+    step = make_pretrain_step(cfg, lora, opt, compute_dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(1), (4, 3, 16, 16))
+    y = jnp.array([0, 1, 2, 3])
+    w0 = np.asarray(params["base"]["head"]["weight"])
+    for i in range(3):
+        state, m = step(state, x, y, jnp.float32(1e-3), jax.random.key(i))
+    assert np.isfinite(float(m["loss"]))
+    assert not np.allclose(w0, np.asarray(
+        state.params["base"]["head"]["weight"]))
+
+
+def test_lora_only_pretrain_freezes_base():
+    from gslora_tpu.engine.pretrain import PretrainState, make_pretrain_step
+    lora = LoraConfig(rank=4)
+    params = init_vit_params(jax.random.key(0), CFG, lora)
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-3))
+    state = PretrainState.create(params, opt)
+    step = make_pretrain_step(CFG, lora, opt, compute_dtype=jnp.float32,
+                              lora_only=True)
+    x = jax.random.normal(jax.random.key(1), (4, 3, 16, 16))
+    y = jnp.array([0, 1, 2, 3])
+    for i in range(2):
+        state, _ = step(state, x, y, jnp.float32(1e-3), jax.random.key(i))
+    np.testing.assert_array_equal(
+        np.asarray(params["base"]["patch"]["kernel"]),
+        np.asarray(state.params["base"]["patch"]["kernel"]))
+    assert not np.allclose(np.asarray(params["lora"]["ffn"]["A1"]),
+                           np.asarray(state.params["lora"]["ffn"]["A1"]))

@@ -29,6 +29,8 @@ K_STEPS = 20
 
 def main():
     import jax
+    from gslora_tpu.cli.common import setup_jax_runtime
+    setup_jax_runtime()  # persistent compile cache
     # hardware RNG for dropout masks: threefry mask generation costs ~17ms
     # of a ~48ms step on v5e; rbg is the TPU-native generator
     jax.config.update("jax_default_prng_impl", "rbg")

@@ -62,3 +62,19 @@ def test_model_attn_impl_switch():
                          compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(l_xla), np.asarray(l_pal),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_model_dpa_impl_matches_xla():
+    cfg = ViTConfig(image_size=16, patch_size=8, dim=32, depth=2, heads=2,
+                    dim_head=16, mlp_dim=64, num_class=6, dropout=0.0,
+                    emb_dropout=0.0, head_type="Softmax")
+    lora = LoraConfig(rank=4)
+    params = init_vit_params(jax.random.key(0), cfg, lora)
+    x = jax.random.normal(jax.random.key(1), (2, 3, 16, 16))
+    y = jnp.array([0, 1])
+    l_xla, _ = vit_apply(params, x, y, cfg, lora, compute_dtype=jnp.float32)
+    cfg_d = dataclasses.replace(cfg, attn_impl="dpa")
+    l_dpa, _ = vit_apply(params, x, y, cfg_d, lora,
+                         compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(l_xla), np.asarray(l_dpa),
+                               rtol=2e-4, atol=2e-4)

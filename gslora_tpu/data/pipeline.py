@@ -78,8 +78,9 @@ class BatchLoader:
             try:
                 for c in chunks:
                     q.put(self._assemble(c))
-            finally:
                 q.put(STOP)
+            except BaseException as e:  # surface decode errors, don't
+                q.put(e)                # silently truncate the epoch
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -87,6 +88,8 @@ class BatchLoader:
             item = q.get()
             if item is STOP:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

@@ -129,3 +129,19 @@ def test_device_prefetcher():
     assert sum(b[1].shape[0] for b in batches) == 12
     import jax
     assert isinstance(batches[0][0], jax.Array)
+
+
+def test_batch_loader_propagates_decode_errors():
+    class BadDataset:
+        samples = [(0, 0), (1, 1)]
+        targets = [0, 1]
+        classes = ["0", "1"]
+
+        def __len__(self):
+            return 2
+
+        def decode(self, idx):
+            raise RuntimeError("corrupt image")
+
+    with pytest.raises(RuntimeError, match="corrupt image"):
+        list(BatchLoader(BadDataset(), 2, seed=0))

@@ -143,6 +143,8 @@ class CyclingLoader:
         self._it: Optional[Iterator] = None
 
     def next(self):
+        if len(self.loader) == 0:
+            raise ValueError("CyclingLoader over an empty loader")
         if self._it is None:
             self._it = iter(self.loader)
         try:

@@ -10,6 +10,7 @@ from gslora_tpu.config import (ForgetConfig, LoraConfig, OptimConfig,
 from gslora_tpu.engine.forget import scalars_for_epoch
 from gslora_tpu.metrics.logging import make_run_name
 from gslora_tpu.models.vit import init_vit_params, vit_apply
+from gslora_tpu.config import LoraConfig as _L
 
 
 def test_vits_soft_split_model_forward():
@@ -84,3 +85,15 @@ def test_remat_matches_no_remat():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_param_summary_matches_reference_counts():
+    """The flagship ViT-P8S8 depth-6 must hit the reference's exact count
+    (19,157,504, train_own_forget.py:658-662) and ~1.19% LoRA fraction."""
+    from gslora_tpu.utils.params import count_params, param_summary
+    flagship = ViTConfig()  # defaults = ViT-P8S8 depth-6, 100 classes
+    params = init_vit_params(jax.random.key(0), flagship, LoraConfig(rank=8))
+    s = param_summary(params)
+    assert s["base"] == 19_157_504
+    assert abs(s["trainable_fraction"] - 0.0119) < 2e-3
+    assert count_params(params["lora"]) == s["lora"]

@@ -61,6 +61,8 @@ def main(argv=None):
                       test_open=test_open)
 
     params = build_params(cfg)
+    from gslora_tpu.utils.params import param_summary
+    print("params:", json.dumps(param_summary(params)))
     logger = MetricLogger(use_wandb=cfg.log_wandb, outdir=cfg.outdir,
                           config=json.loads(cfg.to_json()))
     res = run_forget_training(cfg, params, data, logger=logger,

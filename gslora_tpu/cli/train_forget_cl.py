@@ -190,6 +190,8 @@ def main(argv=None):
     train_ds, test_ds = build_datasets(cfg)
     order = make_order_list(cfg.model.num_class, seed=cfg.data.seed)
     params = build_params(cfg)
+    from gslora_tpu.utils.params import param_summary
+    print("params:", json.dumps(param_summary(params)))
     logger = MetricLogger(use_wandb=cfg.log_wandb, outdir=cfg.outdir,
                           config=json.loads(cfg.to_json()))
 

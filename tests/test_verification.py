@@ -127,3 +127,42 @@ def test_get_val_data(tmp_path):
     sets = get_val_data(str(tmp_path), ["lfw", "cfp_ff", "missing"])
     assert [s[0] for s in sets] == ["lfw", "cfp_ff"]
     assert sets[0][1][0].shape == (2, 3, 112, 112)
+
+
+def test_perform_val_with_vit_model():
+    """End-to-end: pair verification through the actual backbone embed."""
+    import jax
+    import jax.numpy as jnp
+    from gslora_tpu.config import LoraConfig, ViTConfig
+    from gslora_tpu.models.vit import init_vit_params, vit_apply
+
+    cfg = ViTConfig(image_size=16, patch_size=8, dim=32, depth=2, heads=2,
+                    dim_head=16, mlp_dim=64, num_class=6, dropout=0.0,
+                    emb_dropout=0.0, head_type="None")
+    lora = LoraConfig(rank=4)
+    params = init_vit_params(jax.random.key(0), cfg, lora)
+
+    @jax.jit
+    def embed_fn(batch):
+        return vit_apply(params, jnp.asarray(batch), None, cfg, lora,
+                         compute_dtype=jnp.float32)
+
+    rng = np.random.RandomState(0)
+    # same-pairs are exact duplicates (distance exactly 0 after embed);
+    # diff-pairs use high-variance inputs so an untrained model still
+    # spreads them
+    n_pairs = 20
+    imgs = np.zeros((2 * n_pairs, 3, 16, 16), np.float32)
+    issame = []
+    for i in range(n_pairs):
+        a = 5.0 * rng.randn(3, 16, 16).astype(np.float32)
+        same = i % 2 == 0
+        b = a.copy() if same else 5.0 * rng.randn(3, 16, 16) \
+            .astype(np.float32)
+        imgs[2 * i], imgs[2 * i + 1] = a, b
+        issame.append(same)
+    flipped = imgs[:, :, :, ::-1].copy()
+    acc, std, xnorm, thr = perform_val(embed_fn, (imgs, flipped), issame,
+                                       embedding_size=32, batch_size=8)
+    assert acc > 0.8  # exact duplicates separable even untrained
+    assert xnorm > 0

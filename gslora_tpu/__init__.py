@@ -20,3 +20,24 @@ Design principles (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import gslora_tpu` jax-free)."""
+    surface = {
+        "ViTConfig": "gslora_tpu.config",
+        "LoraConfig": "gslora_tpu.config",
+        "OptimConfig": "gslora_tpu.config",
+        "ForgetConfig": "gslora_tpu.config",
+        "RunConfig": "gslora_tpu.config",
+        "init_vit_params": "gslora_tpu.models.vit",
+        "vit_apply": "gslora_tpu.models.vit",
+        "make_forget_step": "gslora_tpu.engine.forget",
+        "run_forget_training": "gslora_tpu.engine.loop",
+        "ForgetData": "gslora_tpu.engine.loop",
+        "run_continual_forgetting": "gslora_tpu.engine.continual",
+    }
+    if name in surface:
+        import importlib
+        return getattr(importlib.import_module(surface[name]), name)
+    raise AttributeError(f"module 'gslora_tpu' has no attribute {name!r}")

@@ -106,8 +106,8 @@ def run_distill_task(cfg: RunConfig, params, teacher_params,
                      test_batches_f: Callable, test_batches_r: Callable,
                      *, method: Optional[str] = None,
                      num_epoch: Optional[int] = None, logger=None,
-                     test_batches_open: Optional[Callable] = None
-                     ) -> Dict[str, Any]:
+                     test_batches_open: Optional[Callable] = None,
+                     mesh=None) -> Dict[str, Any]:
     """One task of LwF/DER/DER++/FDR: iterate the relabeled forget loader,
     cycle remain batches via ``remain_cycler.next()``."""
     from gslora_tpu.engine.loop import _dtype
@@ -121,6 +121,10 @@ def run_distill_task(cfg: RunConfig, params, teacher_params,
           "lambda_der_plus": b.der_plus_lambda, "lambda_fdr": b.fdr_lambda}
     cdt = _dtype(cfg)
     logger = logger or MetricLogger()
+    from gslora_tpu.parallel.mesh import placement
+    put_params, put_batch = placement(mesh)
+    params = put_params(params)
+    teacher_params = put_params(teacher_params)
     opt = make_optimizer(cfg.optim)
     state = PretrainState.create(params, opt)
     step = make_distill_step(method, cfg.model, cfg.lora, opt, hp,
@@ -140,10 +144,10 @@ def run_distill_task(cfg: RunConfig, params, teacher_params,
             else:
                 xr2, yr2 = xr, yr
             rng, sub = jax.random.split(rng)
-            state, metrics = step(state, teacher_params, jnp.asarray(xf),
-                                  jnp.asarray(yf), jnp.asarray(xr),
-                                  jnp.asarray(yr), jnp.asarray(xr2),
-                                  jnp.asarray(yr2), jnp.float32(lr), sub)
+            xf_, yf_, xr_, yr_, xr2_, yr2_ = put_batch(xf, yf, xr, yr,
+                                                       xr2, yr2)
+            state, metrics = step(state, teacher_params, xf_, yf_, xr_,
+                                  yr_, xr2_, yr2_, jnp.float32(lr), sub)
             if (batch + 1) % cfg.disp_freq == 0:
                 logger.log({k: float(v) for k, v in metrics.items()},
                            step=batch)

@@ -138,13 +138,17 @@ def lirf_eval_accuracy(teacher, student_low, batches, model: ViTConfig,
 def run_lirf_task(cfg: RunConfig, params, forget_loader_factory: Callable,
                   remain_cycler, test_batches_f: Callable,
                   test_batches_r: Callable, logger=None,
-                  num_epoch: Optional[int] = None) -> Dict[str, Any]:
+                  num_epoch: Optional[int] = None,
+                  mesh=None) -> Dict[str, Any]:
     from gslora_tpu.engine.loop import _dtype
     from gslora_tpu.engine.state import make_optimizer
     from gslora_tpu.metrics.logging import MetricLogger
+    from gslora_tpu.parallel.mesh import placement
 
     cdt = _dtype(cfg)
     logger = logger or MetricLogger()
+    put_params, put_batch = placement(mesh)
+    params = put_params(params)
     b = cfg.baseline
     teacher = params["base"]
     student_low = jax.tree.map(lambda x: x, teacher)
@@ -168,9 +172,9 @@ def run_lirf_task(cfg: RunConfig, params, forget_loader_factory: Callable,
         for xf, yf in forget_loader_factory():
             xr, yr = remain_cycler.next()
             rng, sub = jax.random.split(rng)
-            state, metrics = step(state, teacher, jnp.asarray(xf),
-                                  jnp.asarray(yf), jnp.asarray(xr),
-                                  jnp.asarray(yr), jnp.float32(lr), sub)
+            xf_, yf_, xr_, yr_ = put_batch(xf, yf, xr, yr)
+            state, metrics = step(state, teacher, xf_, yf_, xr_, yr_,
+                                  jnp.float32(lr), sub)
             if (batch + 1) % cfg.disp_freq == 0:
                 logger.log({k: float(v) for k, v in metrics.items()},
                            step=batch)

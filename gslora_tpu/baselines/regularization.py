@@ -103,16 +103,23 @@ def run_regularization_task(cfg: RunConfig, params, train_loader_factory,
                             *, lam: float, anchors: List, importances: List,
                             num_epoch: Optional[int] = None, logger=None,
                             eval_every: Optional[int] = None,
-                            test_batches_open: Optional[Callable] = None
-                            ) -> Dict[str, Any]:
+                            test_batches_open: Optional[Callable] = None,
+                            mesh=None) -> Dict[str, Any]:
     """One task of reg-baseline training. train_loader_factory() yields the
-    epoch iterator (relabeled forget / remain-for-retrain / concat-replay)."""
+    epoch iterator (relabeled forget / remain-for-retrain / concat-replay).
+    ``mesh``: optional device mesh — params replicate, batches shard over
+    the ``data`` axis (parallel.mesh.placement)."""
     from gslora_tpu.engine.loop import _dtype
     from gslora_tpu.engine.state import make_optimizer
     from gslora_tpu.metrics.logging import MetricLogger
+    from gslora_tpu.parallel.mesh import placement
 
     cdt = _dtype(cfg)
     logger = logger or MetricLogger()
+    put_params, put_batch = placement(mesh)
+    params = put_params(params)
+    anchors = [put_params(a) for a in anchors]
+    importances = [put_params(i) for i in importances]
     opt = make_optimizer(cfg.optim)
     state = PretrainState.create(params, opt)
     step = make_reg_step(cfg.model, cfg.lora, opt, len(anchors),
@@ -131,7 +138,8 @@ def run_regularization_task(cfg: RunConfig, params, train_loader_factory,
         lr = timm_cosine_lr(cfg.optim, epoch)
         for x, y in train_loader_factory():
             rng, sub = jax.random.split(rng)
-            state, metrics = step(state, jnp.asarray(x), jnp.asarray(y),
+            x, y = put_batch(x, y)
+            state, metrics = step(state, x, y,
                                   anchors_t, imps_t, jnp.float32(lam),
                                   jnp.float32(lr), sub)
             if (batch + 1) % cfg.disp_freq == 0:

@@ -100,17 +100,20 @@ def run_scrub_task(cfg: RunConfig, params, forget_loader_factory: Callable,
                    remain_loader_factory: Callable,
                    test_batches_f: Callable, test_batches_r: Callable,
                    logger=None,
-                   test_batches_open: Optional[Callable] = None
-                   ) -> Dict[str, Any]:
+                   test_batches_open: Optional[Callable] = None,
+                   mesh=None) -> Dict[str, Any]:
     """Full SCRUB task: cfg.baseline.scrub_superepoch superepochs."""
     from gslora_tpu.engine.loop import _dtype
     from gslora_tpu.config import OptimConfig
     from gslora_tpu.engine.state import make_optimizer
     from gslora_tpu.metrics.logging import MetricLogger
+    from gslora_tpu.parallel.mesh import placement
 
     b = cfg.baseline
     cdt = _dtype(cfg)
     logger = logger or MetricLogger()
+    put_params, put_batch = placement(mesh)
+    params = put_params(params)
     # the sgda optimizer replaces the main one (cl.py:860-879)
     opt = make_optimizer(OptimConfig(
         opt=b.sgda_optim, lr=b.sgda_learning_rate,
@@ -135,13 +138,15 @@ def run_scrub_task(cfg: RunConfig, params, forget_loader_factory: Callable,
             if i < 5:  # max pass over forget
                 for x, y in forget_loader_factory():
                     rng, sub = jax.random.split(rng)
-                    state, m = max_step(state, teacher, swa, jnp.asarray(x),
-                                        jnp.asarray(y), jnp.float32(lr), sub)
+                    x, y = put_batch(x, y)
+                    state, m = max_step(state, teacher, swa, x, y,
+                                        jnp.float32(lr), sub)
             # min pass over remain (always)
             for x, y in remain_loader_factory():
                 rng, sub = jax.random.split(rng)
-                state, m = min_step(state, teacher, swa, jnp.asarray(x),
-                                    jnp.asarray(y), jnp.float32(lr), sub)
+                x, y = put_batch(x, y)
+                state, m = min_step(state, teacher, swa, x, y,
+                                    jnp.float32(lr), sub)
         swa = swa_update(swa, state.params, n_averaged)
         n_averaged += 1
         facc = eval_accuracy(eval_step, state.params, test_batches_f())

@@ -17,6 +17,16 @@ def setup_jax_runtime(rng_impl: Optional[str] = None,
     cache = cache_dir or os.environ.get("GSLORA_COMPILE_CACHE",
                                         os.path.expanduser(
                                             "~/.cache/gslora_xla"))
+    # Partition the cache by platform: XLA:CPU AOT entries embed host
+    # machine features, and loading an entry produced under different
+    # features fails noisily (cpu_aot_loader "machine type doesn't match")
+    # on every program — one dir per platform keeps TPU entries (the ones
+    # that matter: 1-2 min compiles over the relay) clean.
+    try:
+        platform = (jax.config.jax_platforms or "default").split(",")[0]
+    except AttributeError:
+        platform = "default"
+    cache = os.path.join(cache, platform)
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

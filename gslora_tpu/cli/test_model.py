@@ -48,6 +48,33 @@ def main(argv=None):
     class_acc = {c: 100.0 * k / max(n, 1)
                  for c, (k, n) in sorted(per_class.items())}
     report = {"test_acc": acc, "num_samples": total}
+
+    # optional LFW-style pair verification with ROC artifacts
+    # (train_own.py perform_val + util/utils.py:298-313 buffer_val tap)
+    targets = [t for t in getattr(args, "ver_targets", "").split(",") if t]
+    if targets:
+        from gslora_tpu.data.recordio import get_val_data
+        from gslora_tpu.evaluation.verification import perform_val
+        from gslora_tpu.metrics.logging import (MetricLogger, buffer_val,
+                                                gen_roc_plot)
+        logger = MetricLogger(use_wandb=cfg.log_wandb, outdir=cfg.outdir)
+
+        @jax.jit
+        def embed(x):
+            _, emb = vit_apply(params, x, jnp.zeros((x.shape[0],), jnp.int32),
+                               cfg.model, cfg.lora, train=False,
+                               compute_dtype=cdt)
+            return emb
+
+        for name, data_set, issame in get_val_data(
+                cfg.data.data_root, targets, cfg.model.image_size):
+            vacc, vstd, xnorm, thr, (fpr, tpr) = perform_val(
+                lambda b: embed(jnp.asarray(b)), data_set, issame,
+                embedding_size=cfg.model.dim, return_roc=True)
+            buffer_val(logger, name, vacc, vstd, xnorm, thr,
+                       gen_roc_plot(fpr, tpr), batch=0)
+            report[f"{name}_verification_acc"] = vacc
+        logger.finish()
     print(json.dumps(report, indent=2))
     if cfg.outdir:
         os.makedirs(cfg.outdir, exist_ok=True)

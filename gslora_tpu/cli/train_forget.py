@@ -65,8 +65,18 @@ def main(argv=None):
     print("params:", json.dumps(param_summary(params)))
     logger = MetricLogger(use_wandb=cfg.log_wandb, outdir=cfg.outdir,
                           config=json.loads(cfg.to_json()))
+    mesh = None
+    if getattr(args, "dp", False):
+        import jax
+        if len(jax.devices()) > 1:
+            from gslora_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(cfg.mesh)
     res = run_forget_training(cfg, params, data, logger=logger,
-                              workdir=cfg.outdir)
+                              workdir=cfg.outdir, mesh=mesh)
+    # run name assembled from hyperparameters at exit
+    # (train_own_forget.py:844-877)
+    from gslora_tpu.metrics.logging import make_run_name
+    logger.set_run_name(make_run_name(cfg))
 
     report = {
         "forget_acc_before": res.forget_acc_before,

@@ -40,14 +40,21 @@ from gslora_tpu.metrics.logging import MetricLogger
 
 
 def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
-                           order, logger, workdir):
-    """Task loop for every non-GS-LoRA method."""
+                           order, logger, workdir, mesh=None):
+    """Task loop for every non-GS-LoRA method. ``mesh``: optional device
+    mesh — forwarded to every task runner (params replicate, batches shard
+    over the data axis)."""
     f, b = cfg.forget, cfg.baseline
     method = b.method
     cdt = _dtype(cfg)
     eval_step = make_eval_step(cfg.model, cfg.lora, compute_dtype=cdt)
     bs = cfg.data.batch_size
     test_bs = bs * cfg.data.test_batch_scale
+    # static shapes under a mesh / on TPU (see engine.loop auto_pad)
+    pad = mesh is not None or jax.default_backend() != "cpu"
+    if mesh is not None and bs % mesh.shape.get("data", 1) != 0:
+        raise ValueError(f"batch_size {bs} not divisible by the mesh "
+                         f"data axis ({mesh.shape.get('data', 1)})")
     results = []
     anchors, importances = [], []
     lam = {"l2": b.l2_lambda, "ewc": b.ewc_lambda,
@@ -79,29 +86,32 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
                                       cfg.data.seed + task)
 
         tbf = lambda: BatchLoader(forget_te, test_bs, shuffle=False,  # noqa: E731
-                                  prefetch=0)
+                                  prefetch=0, mask_padding=pad)
         tbr = lambda: BatchLoader(remain_te, test_bs, shuffle=False,  # noqa: E731
-                                  prefetch=0)
+                                  prefetch=0, mask_padding=pad)
         tbo = None
         if open_te is not None and len(open_te):
             tbo = lambda: BatchLoader(open_te, test_bs, shuffle=False,  # noqa: E731
-                                      prefetch=0)
+                                      prefetch=0, mask_padding=pad)
         relabeled = random_relabel(forget_sub, cfg.model.num_class,
                                    seed=cfg.data.seed + task)
-        fl = BatchLoader(relabeled, bs, seed=cfg.data.seed + task)
-        rl = BatchLoader(remain_sub, bs, seed=cfg.data.seed + task + 1)
+        fl = BatchLoader(relabeled, bs, seed=cfg.data.seed + task,
+                         mask_padding=pad)
+        rl = BatchLoader(remain_sub, bs, seed=cfg.data.seed + task + 1,
+                         mask_padding=pad)
 
         if method in ("l2", "ewc", "mas"):
             if task == 0:
                 anchors.append(params)
                 imp_batches = list(BatchLoader(remain_sub, bs, shuffle=False,
-                                               prefetch=0))
+                                               prefetch=0,
+                                               mask_padding=pad))
                 importances.append(estimate_importance(
                     method, params, imp_batches, cfg.model, cfg.lora, cdt))
             out = run_regularization_task(
                 cfg, params, lambda: iter(fl), tbf, tbr, lam=lam,
                 anchors=anchors, importances=importances, logger=logger,
-                test_batches_open=tbo)
+                test_batches_open=tbo, mesh=mesh)
             params = out["params"]
             if task < f.num_tasks - 1:
                 # next-task importance over the NEXT task's FULL remain
@@ -112,7 +122,8 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
                 next_remain, _ = split_by_class_window(train_ds, order,
                                                        ns1, ne1, 0, 0)
                 imp_batches = list(BatchLoader(next_remain, bs,
-                                               shuffle=False, prefetch=0))
+                                               shuffle=False, prefetch=0,
+                                               mask_padding=pad))
                 importances.append(estimate_importance(
                     method, params, imp_batches, cfg.model, cfg.lora, cdt))
         elif method == "retrain":
@@ -122,31 +133,35 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
             out = run_regularization_task(
                 cfg, fresh, lambda: iter(rl), tbf, tbr, lam=0.0,
                 anchors=[], importances=[], logger=logger,
-                test_batches_open=tbo)
+                test_batches_open=tbo, mesh=mesh)
             params = out["params"]
         elif method == "replay":
             total = _ConcatDataset(relabeled, remain_sub)
-            tl = BatchLoader(total, bs, seed=cfg.data.seed + task)
+            tl = BatchLoader(total, bs, seed=cfg.data.seed + task,
+                             mask_padding=pad)
             out = run_regularization_task(
                 cfg, params, lambda: iter(tl), tbf, tbr, lam=0.0,
                 anchors=[], importances=[], logger=logger,
-                test_batches_open=tbo)
+                test_batches_open=tbo, mesh=mesh)
             params = out["params"]
         elif method in ("lwf", "der", "der_plus", "fdr"):
             out = run_distill_task(cfg, params, params, lambda: iter(fl),
                                    CyclingLoader(rl), tbf, tbr,
-                                   logger=logger, test_batches_open=tbo)
+                                   logger=logger, test_batches_open=tbo,
+                                   mesh=mesh)
             params = out["params"]
         elif method == "scrub":
             # SCRUB uses TRUE labels on the forget set
-            fl_true = BatchLoader(forget_sub, bs, seed=cfg.data.seed + task)
+            fl_true = BatchLoader(forget_sub, bs, seed=cfg.data.seed + task,
+                                  mask_padding=pad)
             out = run_scrub_task(cfg, params, lambda: iter(fl_true),
                                  lambda: iter(rl), tbf, tbr, logger=logger,
-                                 test_batches_open=tbo)
+                                 test_batches_open=tbo, mesh=mesh)
             params = out["params"]
         elif method == "lirf":
             out = run_lirf_task(cfg, params, lambda: iter(fl),
-                                CyclingLoader(rl), tbf, tbr, logger=logger)
+                                CyclingLoader(rl), tbf, tbr, logger=logger,
+                                mesh=mesh)
             # LIRF's deployable model is teacher_up(student_low)
             base = dict(out["teacher"])
             half = cfg.model.depth // 2
@@ -167,7 +182,8 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
             if len(old_te):
                 old_acc = eval_accuracy(
                     eval_step, params,
-                    BatchLoader(old_te, test_bs, shuffle=False, prefetch=0))
+                    BatchLoader(old_te, test_bs, shuffle=False, prefetch=0,
+                                mask_padding=pad))
         out["old_acc"] = old_acc
         out.pop("params", None)
         out.pop("swa", None)
@@ -214,13 +230,16 @@ def main(argv=None):
         } for t in out.tasks]
     else:
         report, _ = run_baseline_continual(cfg, params, train_ds, test_ds,
-                                           order, logger, cfg.outdir)
+                                           order, logger, cfg.outdir,
+                                           mesh=mesh)
 
     print(json.dumps(report, indent=2))
     if cfg.outdir:
         os.makedirs(cfg.outdir, exist_ok=True)
         with open(os.path.join(cfg.outdir, "report.json"), "w") as fh:
             json.dump(report, fh, indent=2)
+    from gslora_tpu.metrics.logging import make_run_name
+    logger.set_run_name(make_run_name(cfg))
     logger.finish()
     return report
 

@@ -44,7 +44,9 @@ def main(argv=None):
                               lora_only=lora_only)
     eval_step = make_eval_step(cfg.model, cfg.lora, compute_dtype=cdt)
 
-    loader = BatchLoader(train_ds, cfg.data.batch_size, seed=cfg.data.seed)
+    pad = jax.default_backend() != "cpu"  # static shapes on TPU
+    loader = BatchLoader(train_ds, cfg.data.batch_size, seed=cfg.data.seed,
+                         mask_padding=pad)
     test_batches = lambda: BatchLoader(  # noqa: E731
         test_ds, cfg.data.batch_size * cfg.data.test_batch_scale,
         shuffle=False, prefetch=0)

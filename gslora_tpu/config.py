@@ -370,6 +370,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true")
     p.add_argument("--dp", action="store_true",
                    help="data-parallel over all devices (mesh)")
+    p.add_argument("--ver_targets", default="", type=str,
+                   help="comma-separated verification .bin pair sets under "
+                        "data_root (util/utils.py:60-75 get_val_data names, "
+                        "e.g. lfw,cfp_ff); evaluated by cli.test_model with "
+                        "ROC artifacts")
     return p
 
 

@@ -28,17 +28,23 @@ class BatchLoader:
     def __init__(self, dataset: Dataset, batch_size: int,
                  shuffle: bool = True, seed: int = 1337,
                  pad_to_batch: bool = False, prefetch: int = 2,
-                 drop_last: bool = False):
+                 drop_last: bool = False, mask_padding: bool = False):
         """The reference keeps ragged last batches (drop_last=False
         everywhere) — same default here. A ragged tail costs one extra XLA
         compile per distinct shape (minutes on tunneled TPUs), so real runs
         can opt into ``pad_to_batch`` (wrap-around fill: the tail's loss
-        mean weights wrapped samples twice) or ``drop_last``."""
+        mean weights wrapped samples twice) or ``drop_last``.
+
+        ``mask_padding`` (implies pad_to_batch): padded slots get label -1,
+        the sentinel every loss/accuracy reduction in this package masks
+        out — static shapes WITHOUT double-weighting wrapped samples. This
+        is the default train/eval path under a device mesh or on TPU."""
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
         self.seed = seed
-        self.pad_to_batch = pad_to_batch
+        self.pad_to_batch = pad_to_batch or mask_padding
+        self.mask_padding = mask_padding
         self.drop_last = drop_last
         self.prefetch = prefetch
         self._epoch = 0
@@ -50,12 +56,15 @@ class BatchLoader:
 
     def _assemble(self, idxs) -> Tuple[np.ndarray, np.ndarray]:
         idxs = list(idxs)
+        valid = len(idxs)
         if self.pad_to_batch and len(idxs) < self.bs:
             need = self.bs - len(idxs)
             idxs = idxs + [idxs[i % len(idxs)] for i in range(need)]
         imgs = np.stack([self.ds.decode(i) for i in idxs])
         labels = np.asarray([self.ds.samples[i][1] for i in idxs],
                             dtype=np.int32)
+        if self.mask_padding and valid < len(idxs):
+            labels[valid:] = -1
         return imgs.astype(np.float32), labels
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

@@ -116,10 +116,11 @@ def run_continual_forgetting(cfg: RunConfig, params, train_ds: Dataset,
         if f.prototype:
             # prototypes from the CURRENT backbone over the task subsets
             # (cl.py:634-644, batch 500)
+            pad = mesh is not None or jax.default_backend() != "cpu"
             pb = list(BatchLoader(data.train_forget, 500, shuffle=False,
-                                  prefetch=0)) + \
+                                  prefetch=0, mask_padding=pad)) + \
                 list(BatchLoader(data.train_remain, 500, shuffle=False,
-                                 prefetch=0))
+                                 prefetch=0, mask_padding=pad))
             protos = calculate_prototypes(params, pb, model, lora,
                                           model.num_class, compute_dtype=cdt,
                                           seed=cfg.data.seed)
@@ -132,14 +133,17 @@ def run_continual_forgetting(cfg: RunConfig, params, train_ds: Dataset,
             cfg, params, data, logger=logger,
             workdir=f"{workdir}/task_{task}" if workdir else None,
             protos=protos, beta=beta, pro_f_weight=w_pro_f,
-            seed_offset=task * 1000, mesh=mesh)
+            seed_offset=task * 1000, mesh=mesh,
+            h_eps=1e-8)  # CL H-mean guard (engine_cl.py:279)
         params = {"base": res.state.base, "lora": res.state.lora}
 
         old_acc = None
         if test_old is not None and len(test_old) > 0:
             old_acc = eval_accuracy(
                 eval_step, params,
-                BatchLoader(test_old, test_bs, shuffle=False, prefetch=0))
+                BatchLoader(test_old, test_bs, shuffle=False, prefetch=0,
+                            mask_padding=mesh is not None or
+                            jax.default_backend() != "cpu"))
             logger.log({f"Task {task} old Accuracy": old_acc})
         if workdir:
             save_task_checkpoint(

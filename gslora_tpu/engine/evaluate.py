@@ -37,12 +37,15 @@ def eval_accuracy(eval_step, params, batches: Iterable[Tuple]) -> float:
     Counts stay on device until the end — a per-batch int() readback would
     serialize dispatch against the device (and cost a full RTT per batch on
     tunneled TPU platforms)."""
+    import numpy as np
     corrects = []
     total = 0
     for x, y in batches:
         c, n = eval_step(params, x, y)
         corrects.append(c)
-        total += int(n)  # host-known batch size, no device sync
+        # host-known valid count, no device sync; label -1 = pad sentinel
+        # (never equals an argmax, so the correct count needs no mask)
+        total += int((np.asarray(y) >= 0).sum())
     if not corrects:
         return 0.0
     correct = int(sum(corrects[1:], corrects[0]))

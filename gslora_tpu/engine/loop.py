@@ -68,7 +68,8 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
                         protos: Optional[jax.Array] = None,
                         beta: Optional[float] = None,
                         pro_f_weight: Optional[float] = None,
-                        seed_offset: int = 0, mesh=None) -> ForgetResult:
+                        seed_offset: int = 0, mesh=None,
+                        h_eps: float = 0.0) -> ForgetResult:
     """``mesh``: optional jax.sharding.Mesh — params replicate, train
     batches shard over the ``data`` axis (XLA all-reduces LoRA grads over
     ICI). Single-device runs pass None."""
@@ -84,6 +85,19 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
         repl = NamedSharding(mesh, PartitionSpec())
         params = jax.device_put(params, repl)
         batch_sh = batch_sharding(mesh)
+
+    # Static batch shapes on TPU / under a mesh: every ragged tail shape
+    # costs a fresh XLA compile (minutes on tunneled platforms) and breaks
+    # data-axis divisibility. Pad with label -1 sentinels that every loss/
+    # accuracy reduction masks (no double-weighting of wrapped samples).
+    # CPU single-device runs keep reference-faithful ragged tails.
+    auto_pad = mesh is not None or jax.default_backend() != "cpu"
+    if mesh is not None:
+        dsize = mesh.shape.get("data", 1)
+        if cfg.data.batch_size % dsize != 0:
+            raise ValueError(
+                f"batch_size {cfg.data.batch_size} not divisible by the "
+                f"mesh data axis ({dsize}) — padded batches cannot shard")
 
     def put_batch(x, y):
         if batch_sh is not None:
@@ -103,9 +117,11 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
     # (train_own_forget.py:591-611)
     if fcfg.prototype and protos is None:
         proto_batches = list(BatchLoader(data.train_forget, cfg.data.batch_size,
-                                         shuffle=False, prefetch=0)) + \
+                                         shuffle=False, prefetch=0,
+                                         mask_padding=auto_pad)) + \
             list(BatchLoader(data.train_remain, cfg.data.batch_size,
-                             shuffle=False, prefetch=0))
+                             shuffle=False, prefetch=0,
+                             mask_padding=auto_pad))
         protos = calculate_prototypes(
             params, proto_batches, model, lora, model.num_class,
             compute_dtype=cdt,
@@ -115,12 +131,16 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
 
     bs = cfg.data.batch_size
     test_bs = bs * cfg.data.test_batch_scale
-    loader_f = BatchLoader(data.train_forget, bs, seed=seed)
-    loader_r = BatchLoader(data.train_remain, bs, seed=seed + 1)
+    loader_f = BatchLoader(data.train_forget, bs, seed=seed,
+                           mask_padding=auto_pad)
+    loader_r = BatchLoader(data.train_remain, bs, seed=seed + 1,
+                           mask_padding=auto_pad)
     test_batches_f = lambda: BatchLoader(data.test_forget, test_bs,  # noqa: E731
-                                         shuffle=False, prefetch=0)
+                                         shuffle=False, prefetch=0,
+                                         mask_padding=auto_pad)
     test_batches_r = lambda: BatchLoader(data.test_remain, test_bs,  # noqa: E731
-                                         shuffle=False, prefetch=0)
+                                         shuffle=False, prefetch=0,
+                                         mask_padding=auto_pad)
 
     forget_acc_before = eval_accuracy(eval_step, state.params,
                                       test_batches_f())
@@ -153,8 +173,8 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
             oacc = eval_accuracy(
                 eval_step, state.params,
                 BatchLoader(data.test_open, test_bs, shuffle=False,
-                            prefetch=0))
-        h = h_mean(forget_acc_before, facc, racc)
+                            prefetch=0, mask_padding=auto_pad))
+        h = h_mean(forget_acc_before, facc, racc, eps=h_eps)
         payload = {"Test forget Accuracy": facc, "Test remain Accuracy": racc,
                    "H_mean": h}
         if oacc is not None:

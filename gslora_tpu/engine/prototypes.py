@@ -54,8 +54,10 @@ def calculate_prototypes(params, batches, model: ViTConfig, lora: LoraConfig,
             key, sub = jax.random.split(key)
             embs.append(np.asarray(embed_aug(x, sub)))
         y = np.asarray(y)
+        keep = y >= 0  # drop mask_padding sentinel slots
+        yk = y[keep]
         for e in embs:
-            np.add.at(sums, y, e.astype(np.float64))
-            np.add.at(counts, y, 1)
+            np.add.at(sums, yk, e[keep].astype(np.float64))
+            np.add.at(counts, yk, 1)
     safe = np.maximum(counts, 1)[:, None]
     return jnp.asarray((sums / safe).astype(np.float32))

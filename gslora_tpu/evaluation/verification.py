@@ -116,13 +116,17 @@ def evaluate_verification(embeddings: np.ndarray, actual_issame,
 
 
 def perform_val(embed_fn, data_set, issame, embedding_size: int = 512,
-                batch_size: int = 256, nrof_folds: int = 10
-                ) -> Tuple[float, float, float, float]:
+                batch_size: int = 256, nrof_folds: int = 10,
+                return_roc: bool = False):
     """Pair verification (util/utils.py:167-232): ``data_set`` is
     (images, flipped_images) arrays; embeddings of both flips are SUMMED
     then normalized. ``embed_fn(batch) -> (B, d)``.
 
-    Returns (accuracy_mean, accuracy_std, xnorm, best_threshold_mean)."""
+    Returns (accuracy_mean, accuracy_std, xnorm, best_threshold_mean);
+    with ``return_roc`` a fifth element (fpr, tpr) fold-mean arrays for the
+    ROC render (the reference returns a rendered roc_curve_tensor,
+    util/utils.py:225-231 — rendering lives in metrics.logging.gen_roc_plot
+    so eval math stays plot-free)."""
     embeddings_list = []
     for carray in data_set:
         n = len(carray)
@@ -139,5 +143,8 @@ def perform_val(embed_fn, data_set, issame, embedding_size: int = 512,
         np.linalg.norm(embeddings, axis=1, keepdims=True), 1e-12)
     tpr, fpr, accuracy, best_thresholds = evaluate_verification(
         embeddings, issame, nrof_folds)
-    return float(accuracy.mean()), float(accuracy.std()), xnorm, \
-        float(best_thresholds.mean())
+    out = (float(accuracy.mean()), float(accuracy.std()), xnorm,
+           float(best_thresholds.mean()))
+    if return_roc:
+        return out + ((fpr, tpr),)
+    return out

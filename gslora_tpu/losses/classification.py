@@ -1,4 +1,10 @@
-"""Data losses: remain CE + bounded forget CE (engine.py:248,261)."""
+"""Data losses: remain CE + bounded forget CE (engine.py:248,261).
+
+All reductions mask label -1, the pad sentinel BatchLoader(mask_padding=
+True) emits so TPU runs keep static batch shapes (no recompiles on ragged
+tails) without double-weighting wrap-padded samples. Unpadded batches
+(all labels >= 0) reduce to the exact torch-default batch mean.
+"""
 from __future__ import annotations
 
 import jax
@@ -6,10 +12,17 @@ import jax.numpy as jnp
 import optax
 
 
+def _masked_mean(per_sample: jax.Array, labels: jax.Array) -> jax.Array:
+    w = (labels >= 0).astype(jnp.float32)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """Mean CE over the batch (torch nn.CrossEntropyLoss default)."""
-    return optax.softmax_cross_entropy_with_integer_labels(
-        logits.astype(jnp.float32), labels).mean()
+    """Mean CE over valid samples (torch nn.CrossEntropyLoss default on
+    unpadded batches)."""
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), jnp.maximum(labels, 0))
+    return _masked_mean(ce, labels)
 
 
 def bounded_forget_loss(logits: jax.Array, labels: jax.Array,
@@ -22,4 +35,4 @@ def bounded_forget_loss(logits: jax.Array, labels: jax.Array,
 def top1_accuracy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Top-1 accuracy in percent (util/utils.py train_accuracy topk=(1,))."""
     pred = jnp.argmax(logits, axis=-1)
-    return 100.0 * jnp.mean((pred == labels).astype(jnp.float32))
+    return 100.0 * _masked_mean((pred == labels).astype(jnp.float32), labels)

@@ -22,14 +22,19 @@ def prototype_loss(emb: jax.Array, labels: jax.Array, protos: jax.Array,
     l2: mean squared error.
     """
     emb = emb.astype(jnp.float32)
-    target = protos[labels].astype(jnp.float32)  # (B, d)
+    target = protos[jnp.maximum(labels, 0)].astype(jnp.float32)  # (B, d)
+    # label -1 marks pad slots (BatchLoader mask_padding) — drop them from
+    # the batch mean; all-valid batches reduce to the exact torch mean
+    w = (labels >= 0).astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(w), 1.0)
     if distance == "l2":
-        return jnp.mean((emb - target) ** 2)
+        per = jnp.mean((emb - target) ** 2, axis=1)
+        return jnp.sum(per * w) / denom
     if distance == "kl":
         logp = jax.nn.log_softmax(emb, axis=1)
         logq = jax.nn.log_softmax(target, axis=1)
         kl = jnp.sum(jnp.exp(logq) * (logq - logp), axis=1)
-        return jnp.mean(kl)
+        return jnp.sum(kl * w) / denom
     raise ValueError(f"unknown distance {distance}")
 
 

@@ -49,6 +49,29 @@ class MetricLogger:
         if self._wandb is not None and self._wandb.run is not None:
             self._wandb.run.name = name
 
+    def log_image(self, name: str, image_bytes: bytes,
+                  step: int | None = None, ext: str = "jpg") -> Optional[str]:
+        """Log an image artifact: written next to metrics.jsonl (and to
+        wandb when live). Returns the file path written, if any."""
+        path = None
+        if self._jsonl is not None:
+            outdir = os.path.dirname(self._jsonl.name)
+            fname = f"{name.replace('/', '_')}" + \
+                (f"_step{step}" if step is not None else "") + f".{ext}"
+            path = os.path.join(outdir, fname)
+            with open(path, "wb") as fh:
+                fh.write(image_bytes)
+            self.log({f"{name}_path": path}, step=step)
+        if self._wandb is not None:
+            import io as _io
+            try:
+                from PIL import Image
+                img = Image.open(_io.BytesIO(image_bytes))
+                self._wandb.log({name: self._wandb.Image(img)}, step=step)
+            except Exception:
+                pass
+        return path
+
     def finish(self) -> None:
         if self._wandb is not None and self._wandb.run is not None:
             self._wandb.finish()
@@ -56,19 +79,61 @@ class MetricLogger:
             self._jsonl.close()
 
 
-def make_run_name(cfg) -> str:
-    """Run name assembled from hyperparameters at exit, mirroring the
-    reference naming recipe (train_own_forget.py:844-877)."""
+def gen_roc_plot(fpr, tpr) -> bytes:
+    """Render an ROC curve to JPEG bytes (util/utils.py:129-142 gen_plot,
+    without the interactive pyplot state)."""
+    import io as _io
+
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib.figure import Figure
+
+    fig = Figure()
+    ax = fig.subplots()
+    ax.set_xlabel("FPR", fontsize=14)
+    ax.set_ylabel("TPR", fontsize=14)
+    ax.set_title("ROC Curve", fontsize=14)
+    ax.plot(fpr, tpr, linewidth=2)
+    buf = _io.BytesIO()
+    fig.savefig(buf, format="jpeg")
+    return buf.getvalue()
+
+
+def buffer_val(logger: MetricLogger, db_name: str, acc: float, std: float,
+               xnorm: float, best_threshold: float, roc_image: bytes | None,
+               batch: int | None = None) -> None:
+    """Verification-eval tap (util/utils.py:298-313 buffer_val): scalar
+    metrics keyed ``{db}_Accuracy/...`` plus the rendered ROC artifact."""
+    logger.log({
+        f"{db_name}_Accuracy": acc,
+        f"{db_name}_Std": std,
+        f"{db_name}_XNorm": xnorm,
+        f"{db_name}_Best_Threshold": best_threshold,
+    }, step=batch)
+    if roc_image is not None:
+        logger.log_image(f"{db_name}_ROC_Curve", roc_image, step=batch)
+
+
+def make_run_name(cfg, num_epoch: int | None = None) -> str:
+    """Run name assembled from hyperparameters at exit — byte-for-byte the
+    reference recipe (train_own_forget.py:844-877): base
+    ``remain-{first}-forget-{per}-lora_rank-{r}beta{b}lr{lr}BND{bnd}alpha{a}``
+    with ``-warmup_alpha{big}`` appended and few-shot / EMA prefixes."""
     f = cfg.forget
-    parts = [
-        f"start{f.num_of_first_cls}", f"forget{f.per_forget_cls}",
-        f"lr{cfg.optim.lr}", f"beta{f.beta}", f"alpha{f.alpha}",
-        f"epoch{cfg.num_epoch}", f"BND{f.bnd}", f"rank{cfg.lora.rank}",
-    ]
-    if f.prototype:
-        parts += [f"fpweight{f.pro_f_weight}", f"rpweight{f.pro_r_weight}"]
+
+    def _n(x: float) -> str:  # str(float) like argparse-typed values
+        xi = int(x)
+        return str(xi) if x == xi and not isinstance(x, float) else str(x)
+
+    name = ("remain-" + str(f.num_of_first_cls) + "-forget-" +
+            str(f.per_forget_cls) + "-lora_rank-" + str(cfg.lora.rank) +
+            "beta" + _n(f.beta) + "lr" + _n(cfg.optim.lr) +
+            "BND" + _n(f.bnd) + "alpha" + _n(f.alpha))
+    if f.warmup_alpha:
+        name = name + "-warmup_alpha" + _n(f.big_alpha)
     if f.few_shot:
-        parts.append(f"few{f.few_shot_num}")
+        name = ("few_shot-" + str(f.few_shot_num) + "epoch-" +
+                str(cfg.num_epoch if num_epoch is None else num_epoch) + name)
     if f.average_weight:
-        parts.append(f"ema{f.ema_decay}@{f.ema_epoch}")
-    return "-".join(parts)
+        name = "EMA" + _n(f.ema_decay) + "-epoch" + str(f.ema_epoch) + name
+    return name

@@ -66,3 +66,25 @@ def replicate(mesh: Mesh, tree):
     """device_put a pytree with its param_shardings layout."""
     sh = param_shardings(mesh, tree)
     return jax.tree.map(jax.device_put, tree, sh)
+
+
+def placement(mesh: Optional[Mesh]):
+    """(put_params, put_batch) pair for an optional mesh.
+
+    With a mesh: put_params replicates a param pytree (head weight sharded
+    over ``model`` when that axis is >1) and put_batch shards arrays'
+    leading dim over ``data``. With mesh=None both are plain asarray/
+    identity — so every engine can take ``mesh=None`` and stay
+    single-device with zero branching at call sites.
+    """
+    import jax.numpy as jnp
+
+    if mesh is None:
+        return (lambda t: t), \
+            (lambda *a: tuple(jnp.asarray(x) for x in a))
+    bs = batch_sharding(mesh)
+
+    def put_batch(*arrays):
+        return tuple(jax.device_put(jnp.asarray(a), bs) for a in arrays)
+
+    return (lambda t: replicate(mesh, t)), put_batch

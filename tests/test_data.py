@@ -121,6 +121,19 @@ def test_batch_loader_pad_and_drop():
     assert len(BatchLoader(ds, 4, drop_last=True)) == 2
 
 
+def test_batch_loader_mask_padding():
+    """mask_padding: static shapes with label -1 sentinels in pad slots —
+    the TPU/mesh default (engine.loop auto_pad)."""
+    ds = synthetic_face_dataset(num_classes=2, per_class=5)  # 10 samples
+    batches = list(BatchLoader(ds, 4, seed=0, mask_padding=True, prefetch=0))
+    assert [b[1].shape[0] for b in batches] == [4, 4, 4]
+    full = np.concatenate([b[1] for b in batches])
+    assert (full[:10] >= 0).all()  # real samples keep their labels
+    assert (full[10:] == -1).all()  # pad slots carry the sentinel
+    # full batches are untouched
+    assert (batches[0][1] >= 0).all() and (batches[1][1] >= 0).all()
+
+
 def test_device_prefetcher():
     from gslora_tpu.data.pipeline import DevicePrefetcher
     ds = synthetic_face_dataset(num_classes=2, per_class=6)

@@ -84,3 +84,38 @@ def test_forget_run_end_to_end(pretrained, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(params["base"]["patch"]["kernel"]),
         np.asarray(res.state.base["patch"]["kernel"]))
+
+
+def test_forget_open_set_end_to_end(pretrained):
+    """Single-step OPEN-SET run (reference train_own_forget_open.py /
+    scripts/run_forget_open.sh): 3-way split remain/open/forget where open
+    classes are excluded from training; forget craters, remain holds, and
+    open-class accuracy is reported (it may degrade — that's the effect the
+    open-set protocol studies)."""
+    from gslora_tpu.data.splits import open_single_windows
+    cfg, params, train, test = pretrained
+    order = make_order_list(6, seed=1337)
+    # first 4 classes with 2 of them open: remain [0,2), open [2,4),
+    # forget [4,6)
+    (rs, re), (fs, fe), (os_, oe) = open_single_windows(4, 2, 2)
+    remain_tr, forget_tr = split_by_class_window(train, order, rs, re, fs, fe)
+    remain_te, forget_te = split_by_class_window(test, order, rs, re, fs, fe)
+    _, open_te = split_by_class_window(test, order, 0, 0, os_, oe)
+    assert len(open_te) > 0
+    data = ForgetData(train_forget=forget_tr, train_remain=remain_tr,
+                      test_forget=forget_te, test_remain=remain_te,
+                      test_open=open_te)
+
+    fcfg = RunConfig(
+        model=MODEL, lora=LORA,
+        optim=OptimConfig(lr=1e-2, warmup_epochs=0, epochs=30),
+        forget=ForgetConfig(bnd=10.0, beta=0.5, alpha=5e-4, alpha_epoch=0,
+                            open_cls_num=2),
+        data=DataConfig(batch_size=8, data_mode="synthetic"),
+        num_epoch=30, ver_freq=10_000, compute_dtype="float32")
+
+    res = run_forget_training(fcfg, params, data)
+    assert res.forget_acc_before > 80.0
+    assert res.forget_acc < 40.0, f"forget acc didn't drop: {res.forget_acc}"
+    assert res.remain_acc > 75.0, f"remain acc collapsed: {res.remain_acc}"
+    assert res.open_acc is not None and 0.0 <= res.open_acc <= 100.0

@@ -112,3 +112,35 @@ def test_top1_accuracy():
     logits = jnp.asarray(np.eye(4, 10, dtype=np.float32) * 5.0)
     assert float(top1_accuracy(logits, jnp.array([0, 1, 2, 3]))) == 100.0
     assert float(top1_accuracy(logits, jnp.array([9, 9, 9, 9]))) == 0.0
+
+
+def test_masked_reductions_ignore_pad_sentinel():
+    """Label -1 (BatchLoader mask_padding) must be invisible to every
+    reduction: loss/accuracy on [valid; pads] == on [valid] alone."""
+    import numpy as np
+    from gslora_tpu.losses.classification import (bounded_forget_loss,
+                                                  cross_entropy,
+                                                  top1_accuracy)
+    from gslora_tpu.losses.prototype import prototype_loss
+
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(6, 5).astype(np.float32))
+    labels = jnp.asarray(np.array([0, 3, 2, 1], np.int32))
+    pad = jnp.concatenate([labels, jnp.full((2,), -1, jnp.int32)])
+
+    np.testing.assert_allclose(
+        float(cross_entropy(logits, pad)),
+        float(cross_entropy(logits[:4], labels)), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(bounded_forget_loss(logits, pad, 5.0)),
+        float(bounded_forget_loss(logits[:4], labels, 5.0)), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(top1_accuracy(logits, pad)),
+        float(top1_accuracy(logits[:4], labels)), rtol=1e-6)
+
+    emb = jnp.asarray(rng.randn(6, 8).astype(np.float32))
+    protos = jnp.asarray(rng.randn(5, 8).astype(np.float32))
+    for dist in ("kl", "l2"):
+        np.testing.assert_allclose(
+            float(prototype_loss(emb, pad, protos, dist)),
+            float(prototype_loss(emb[:4], labels, protos, dist)), rtol=1e-6)

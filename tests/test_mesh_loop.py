@@ -1,11 +1,18 @@
-"""run_forget_training over the 8-device CPU mesh produces the same
-dynamics as single-device (data-parallel correctness at the loop level)."""
+"""Data-parallel correctness of the training loop on the 8-device CPU mesh.
+
+test_dp_equivalence is the certifying test: run_forget_training with
+identical seeds on 1 device and on the 8-device data mesh must produce the
+same final LoRA params and the same metric history (grads all-reduced by
+XLA over the data axis == the unsharded gradient), up to fp reassociation
+tolerance. Dataset sizes are chosen divisible by the batch so no padding
+path interferes (padding itself is covered by test_data/test_losses).
+"""
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from gslora_tpu.config import (DataConfig, ForgetConfig, LoraConfig,
-                               OptimConfig, RunConfig, ViTConfig)
+                               MeshConfig, OptimConfig, RunConfig, ViTConfig)
 from gslora_tpu.data.splits import make_order_list, split_by_class_window
 from gslora_tpu.data.synthetic import synthetic_face_dataset
 from gslora_tpu.engine.loop import ForgetData, run_forget_training
@@ -19,7 +26,7 @@ MODEL = ViTConfig(image_size=16, patch_size=8, dim=32, depth=2, heads=2,
 LORA = LoraConfig(rank=4)
 
 
-def test_loop_on_mesh():
+def _data():
     train = synthetic_face_dataset(num_classes=6, per_class=16,
                                    image_size=16, seed=0, noise=1.0)
     test = synthetic_face_dataset(num_classes=6, per_class=8, image_size=16,
@@ -27,19 +34,89 @@ def test_loop_on_mesh():
     order = make_order_list(6, seed=1337)
     remain_tr, forget_tr = split_by_class_window(train, order, 0, 4, 4, 6)
     remain_te, forget_te = split_by_class_window(test, order, 0, 4, 4, 6)
-    data = ForgetData(train_forget=forget_tr, train_remain=remain_tr,
+    return ForgetData(train_forget=forget_tr, train_remain=remain_tr,
                       test_forget=forget_te, test_remain=remain_te)
-    cfg = RunConfig(model=MODEL, lora=LORA,
-                    optim=OptimConfig(lr=1e-3, warmup_epochs=0, epochs=2),
-                    forget=ForgetConfig(bnd=10.0, beta=0.3, alpha=1e-4,
-                                        alpha_epoch=0),
-                    data=DataConfig(batch_size=16),  # 16 % 8 == 0
-                    num_epoch=2, ver_freq=10_000, compute_dtype="float32")
-    params = init_vit_params(jax.random.key(0), MODEL, LORA)
-    mesh = make_mesh()
-    res = run_forget_training(cfg, params, data, mesh=mesh)
-    assert np.isfinite(res.best_h)
-    assert res.remain_acc >= 0
+
+
+def _cfg():
+    return RunConfig(model=MODEL, lora=LORA,
+                     optim=OptimConfig(lr=1e-3, warmup_epochs=0, epochs=2),
+                     forget=ForgetConfig(bnd=10.0, beta=0.3, alpha=1e-4,
+                                         alpha_epoch=0),
+                     data=DataConfig(batch_size=16),  # 16 % 8 == 0; 64/16,
+                     num_epoch=2, ver_freq=10_000,    # 32/16: no ragged tail
+                     compute_dtype="float32")
+
+
+def test_dp_equivalence():
+    """1-device vs 8-device mesh: same seeds -> same dynamics."""
+    data = _data()
+    cfg = _cfg()
+
+    params0 = init_vit_params(jax.random.key(0), MODEL, LORA)
+    res_single = run_forget_training(cfg, params0, data, mesh=None)
+
+    params1 = init_vit_params(jax.random.key(0), MODEL, LORA)
+    mesh = make_mesh()  # 8x1 data mesh on the CPU conftest
+    assert mesh.shape["data"] * mesh.shape["model"] == len(jax.devices())
+    res_mesh = run_forget_training(cfg, params1, data, mesh=mesh)
+
+    # final trainable (LoRA) params identical up to all-reduce reassociation
+    flat_s = jax.tree_util.tree_leaves(res_single.state.lora)
+    flat_m = jax.tree_util.tree_leaves(res_mesh.state.lora)
+    for a, b in zip(flat_s, flat_m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    # metric history (per-eval accuracies + H) matches
+    assert len(res_single.history) == len(res_mesh.history)
+    for hs, hm in zip(res_single.history, res_mesh.history):
+        for k in ("Test forget Accuracy", "Test remain Accuracy", "H_mean"):
+            assert abs(hs[k] - hm[k]) < 1e-3, (k, hs[k], hm[k])
+    assert abs(res_single.best_h - res_mesh.best_h) < 1e-3
+
+
+def test_mesh_scaling_step_times():
+    """Scaling-evidence artifact: the SAME global-batch jitted train step
+    compiles and runs on 1/2/4/8-device data meshes; step times recorded
+    (virtual CPU devices share cores, so no speedup assertion — the test
+    certifies the sharded programs execute and stay numerically finite)."""
+    import time
+
+    from gslora_tpu.engine.forget import make_forget_step
+    from gslora_tpu.engine.state import ForgetState, make_optimizer
+    from gslora_tpu.parallel.mesh import placement
+
+    data_sizes = [1, 2, 4, 8]
+    opt = make_optimizer(OptimConfig(lr=1e-3))
+    fcfg = ForgetConfig(bnd=10.0, beta=0.3, alpha=1e-4, alpha_epoch=0)
+    step = make_forget_step(MODEL, LORA, fcfg, opt,
+                            compute_dtype=jnp.float32)
+    protos = jnp.zeros((MODEL.num_class, MODEL.dim), jnp.float32)
+    scalars = {k: jnp.float32(v) for k, v in dict(
+        beta=0.3, alpha=1e-4, lr=1e-3, bnd=10.0, bnd_pro=0.0,
+        w_pro_f=0.0, w_pro_r=0.0).items()}
+    x = np.random.RandomState(0).rand(16, 3, 16, 16).astype(np.float32)
+    y = (np.arange(16) % 6).astype(np.int32)
+
+    times = {}
+    for n in data_sizes:
+        mesh = make_mesh(MeshConfig(data=n, model=1),
+                         devices=jax.devices()[:n])
+        put_params, put_batch = placement(mesh)
+        params = put_params(init_vit_params(jax.random.key(0), MODEL, LORA))
+        state = ForgetState.create(params, opt)
+        xb, yb = put_batch(x, y)
+        state, m = step(state, xb, yb, xb, yb, protos, scalars,
+                        jax.random.key(1))  # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(3):
+            state, m = step(state, xb, yb, xb, yb, protos, scalars,
+                            jax.random.key(2))
+        float(m["loss_total"])  # host readback = real sync
+        times[n] = (time.perf_counter() - t0) / 3
+        assert np.isfinite(float(m["loss_total"]))
+    print("mesh scaling step times (fixed global batch 16):",
+          {n: round(t * 1e3, 2) for n, t in times.items()}, "ms")
 
 
 def test_forward_throughput_probe():

@@ -55,11 +55,23 @@ def test_scalars_for_epoch_schedules():
 
 
 def test_make_run_name():
+    """Byte-for-byte the reference assembly (train_own_forget.py:844-877):
+    EMA prefix, then few_shot prefix, then the remain-…-alpha… base."""
     cfg = RunConfig(forget=ForgetConfig(prototype=True, few_shot=True,
                                         average_weight=True))
+    f = cfg.forget
     name = make_run_name(cfg)
-    assert "start90" in name and "rank8" in name and "few4" in name
-    assert "ema0.99@50" in name
+    base = (f"remain-{f.num_of_first_cls}-forget-{f.per_forget_cls}"
+            f"-lora_rank-{cfg.lora.rank}beta{f.beta}lr{cfg.optim.lr}"
+            f"BND{f.bnd}alpha{f.alpha}")
+    expected = (f"EMA{f.ema_decay}-epoch{f.ema_epoch}"
+                f"few_shot-{f.few_shot_num}epoch-{cfg.num_epoch}" + base)
+    assert name == expected
+
+    cfg2 = RunConfig(forget=ForgetConfig(warmup_alpha=True))
+    assert make_run_name(cfg2).endswith(
+        f"-warmup_alpha{cfg2.forget.big_alpha}")
+    assert make_run_name(cfg2).startswith("remain-")
 
 
 def test_remat_matches_no_remat():

@@ -125,7 +125,8 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
         protos = calculate_prototypes(
             params, proto_batches, model, lora, model.num_class,
             compute_dtype=cdt,
-            aug_repeat=20 if fcfg.aug_num > 0 else 0, seed=seed)
+            aug_repeat=20 if fcfg.aug_num > 0 else 0, seed=seed,
+            aug_magnitude=fcfg.aug_num)  # magnitude=aug_num (utils.py:511)
     if protos is None:
         protos = jnp.zeros((model.num_class, model.dim), jnp.float32)
 

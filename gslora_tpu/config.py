@@ -48,7 +48,9 @@ class ViTConfig:
     # quirk); torchvision ViT-B/16 has qkv bias and standard head-dim scale.
     qkv_bias: bool = False
     attn_scale: str = "dim"  # "dim" | "dim_head"
-    attn_impl: str = "xla"  # "xla" | "pallas" (fused VMEM-resident kernel)
+    attn_impl: str = "xla"  # xla | bnhd (head-trailing, no
+    # transposes) | dpa (jax.nn.dot_product_attention) | pallas (fused
+    # VMEM-resident kernel)
     # rematerialize block activations in backward (jax.checkpoint on the
     # scan body): trades ~33% more FLOPs for O(1)-in-depth activation
     # memory — enables large-batch pretraining within one chip's HBM

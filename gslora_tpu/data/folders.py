@@ -27,6 +27,10 @@ class Dataset:
     def __len__(self):
         return len(self.samples)
 
+    def decode_batch(self, idxs: Sequence[int]) -> np.ndarray:
+        """Batched decode; subclasses with a native fast path override."""
+        return np.stack([self.decode(i) for i in idxs])
+
 
 class ImageFolderDataset(Dataset):
     """Directory-of-class-dirs layout (torchvision ImageFolder semantics:
@@ -53,6 +57,28 @@ class ImageFolderDataset(Dataset):
                     self.samples.append((os.path.join(cdir, fn),
                                          self.class_to_idx[c]))
         self.targets = [label for _, label in self.samples]
+
+    def decode_batch(self, idxs: Sequence[int]) -> np.ndarray:
+        """Batched decode through the native C++ thread pool when built
+        (native/imagedec.cpp): libjpeg/libpng — the same codecs PIL wraps,
+        so pixels match the PIL path exactly for already-sized images.
+        Falls back to per-image PIL for anything the native path declines
+        (resize required, unsupported codec) or when the .so isn't built."""
+        idxs = list(idxs)
+        if not self.imagenet_eval:
+            try:
+                from gslora_tpu.native import decode_image_batch
+                res = decode_image_batch(
+                    [self.samples[i][0] for i in idxs],
+                    self.image_size, self.image_size)
+            except Exception:
+                res = None
+            if res is not None:
+                out, ok = res
+                for j in np.nonzero(~ok)[0]:
+                    out[j] = self.decode(idxs[int(j)])
+                return out
+        return np.stack([self.decode(i) for i in idxs])
 
     def decode(self, idx: int) -> np.ndarray:
         from PIL import Image
@@ -119,6 +145,9 @@ class SubsetDataset(Dataset):
 
     def decode(self, idx: int) -> np.ndarray:
         return self.parent.decode(self.indices[idx])
+
+    def decode_batch(self, idxs: Sequence[int]) -> np.ndarray:
+        return self.parent.decode_batch([self.indices[i] for i in idxs])
 
 
 class ConcatDataset(Dataset):

@@ -60,7 +60,8 @@ class BatchLoader:
         if self.pad_to_batch and len(idxs) < self.bs:
             need = self.bs - len(idxs)
             idxs = idxs + [idxs[i % len(idxs)] for i in range(need)]
-        imgs = np.stack([self.ds.decode(i) for i in idxs])
+        imgs = self.ds.decode_batch(idxs) if hasattr(self.ds, "decode_batch") \
+            else np.stack([self.ds.decode(i) for i in idxs])
         labels = np.asarray([self.ds.samples[i][1] for i in idxs],
                             dtype=np.int32)
         if self.mask_padding and valid < len(idxs):

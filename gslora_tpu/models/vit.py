@@ -181,6 +181,33 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
         out = _dropout(out, model.dropout,
                        rngs[0] if rngs is not None else None, deterministic)
         return x + out
+    if model.attn_impl == "skip":
+        # ABLATION ONLY (perf lab): bypass scores/softmax/AV, keep the
+        # projection GEMMs — isolates the attention-einsum+softmax cost
+        out = jnp.einsum("bni,id->bnd", v,
+                         blk["attn_out"]["kernel"].astype(cdt))
+        out = out + blk["attn_out"]["bias"].astype(cdt)
+        out = _dropout(out, model.dropout,
+                       rngs[0] if rngs is not None else None, deterministic)
+        return x + out
+    if model.attn_impl == "bnhd":
+        # head-trailing layout: q/k/v stay (b, n, h, d) — a free reshape of
+        # the qkv projection output instead of a physical (b,h,n,d)
+        # transpose per tensor per block; heads batch in einsum position 2
+        # and the output reshape back to (b, n, dim) is contiguous
+        b, n = q.shape[0], q.shape[1]
+        qh = q.reshape(b, n, -1, hd)
+        kh = k.reshape(b, n, -1, hd)
+        vh = v.reshape(b, n, -1, hd)
+        dots = jnp.einsum("bihd,bjhd->bhij", qh, kh) * scale
+        attn = jax.nn.softmax(dots.astype(jnp.float32), axis=-1).astype(cdt)
+        out = jnp.einsum("bhij,bjhd->bihd", attn, vh).reshape(b, n, -1)
+        out = jnp.einsum("bni,id->bnd", out,
+                         blk["attn_out"]["kernel"].astype(cdt))
+        out = out + blk["attn_out"]["bias"].astype(cdt)
+        out = _dropout(out, model.dropout,
+                       rngs[0] if rngs is not None else None, deterministic)
+        return x + out
     q = rearrange(q, "b n (h d) -> b h n d", d=hd)
     k = rearrange(k, "b n (h d) -> b h n d", d=hd)
     v = rearrange(v, "b n (h d) -> b h n d", d=hd)

@@ -40,8 +40,37 @@ def load_library():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+    try:
+        lib.id_decode_batch.restype = ctypes.c_int
+        lib.id_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+    except AttributeError:  # older .so without the image decoder
+        pass
     _lib = lib
     return lib
+
+
+def decode_image_batch(paths: List[str], height: int, width: int,
+                       threads: int = 4
+                       ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Decode JPEG/PNG files into (n, 3, H, W) float32 /255 via the C++
+    thread pool (native/imagedec.cpp). Returns (batch, ok_mask) — ok[i]
+    False where the caller must fall back to PIL (resize needed,
+    unsupported codec). None when the native library isn't built."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "id_decode_batch"):
+        return None
+    n = len(paths)
+    out = np.zeros((n, 3, height, width), np.float32)
+    ok = np.zeros(n, np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.id_decode_batch(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        height, width, threads,
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out, ok.astype(bool)
 
 
 def available() -> bool:

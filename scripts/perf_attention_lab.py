@@ -1,0 +1,108 @@
+"""Attention-utilization lab (VERDICT round-1 item #2).
+
+Measures the FULL jitted forget step (the bench.py workload) under
+attention-implementation / batch variants on the real TPU, one JSON line
+per variant. Methodology identical to bench.py: K steps chained in one
+compiled scan, timing closed by a scalar host readback (DEVNOTES:
+block_until_ready does not sync on the tunnel).
+
+Run: python scripts/perf_attention_lab.py [--variants xla,bnhd,...] [--k 20]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+STEP_GFLOP_PER_IMG = 24.0  # analytic 3x fwd (BASELINE.md derivation)
+CEILING_TFLOPS = 67.0  # observed v5e bf16 ceiling on this tunnel (DEVNOTES)
+
+
+def measure(model, lora, fcfg, bs: int, k: int):
+    import jax
+    import jax.numpy as jnp
+
+    from gslora_tpu.config import OptimConfig
+    from gslora_tpu.engine.forget import make_forget_step
+    from gslora_tpu.engine.state import ForgetState, make_optimizer
+    from gslora_tpu.models.vit import init_vit_params
+
+    params = init_vit_params(jax.random.key(0), model, lora,
+                             param_dtype=jnp.bfloat16)
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-2))
+    state = ForgetState.create(params, opt)
+    step = make_forget_step(model, lora, fcfg, opt,
+                            compute_dtype=jnp.bfloat16, use_prototype=True,
+                            lora_apply="merged", fused_batch=True)
+    xf = jax.random.normal(jax.random.key(1), (bs, 3, 112, 112), jnp.float32)
+    yf = jnp.arange(bs, dtype=jnp.int32) % 10 + 90
+    xr = jax.random.normal(jax.random.key(2), (bs, 3, 112, 112), jnp.float32)
+    yr = jnp.arange(bs, dtype=jnp.int32) % 90
+    protos = jax.random.normal(jax.random.key(3),
+                               (model.num_class, model.dim), jnp.float32)
+    scalars = {kk: jnp.float32(v) for kk, v in dict(
+        beta=0.15, alpha=0.01, lr=1e-2, bnd=110.0, bnd_pro=18.0,
+        w_pro_f=0.1, w_pro_r=0.1).items()}
+
+    @jax.jit
+    def multi(state, keys):
+        def body(s, kk):
+            s2, m = step(s, xf, yf, xr, yr, protos, scalars, kk)
+            return s2, m["loss_total"]
+        return jax.lax.scan(body, state, keys)
+
+    keys = jax.random.split(jax.random.key(7), k)
+    s2, losses = multi(state, keys)
+    float(losses[-1])  # compile + sync
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s2, losses = multi(state, keys)
+        float(losses[-1])
+        best = min(best, time.perf_counter() - t0)
+    ips = k * 2 * bs / best
+    return {
+        "images_per_sec": round(ips, 1),
+        "ms_per_step": round(best / k * 1e3, 2),
+        "achieved_tflops": round(ips * STEP_GFLOP_PER_IMG / 1e3, 1),
+        "mfu_vs_ceiling": round(ips * STEP_GFLOP_PER_IMG / 1e3
+                                / CEILING_TFLOPS, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="xla,bnhd,dpa,xla_b96,bnhd_b96")
+    ap.add_argument("--k", type=int, default=20)
+    args = ap.parse_args()
+
+    from gslora_tpu.cli.common import setup_jax_runtime
+    setup_jax_runtime()
+    import jax
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    import sys
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _flagship_configs
+    model, lora, fcfg = _flagship_configs()
+
+    for v in args.variants.split(","):
+        nodrop = v.endswith("_nodrop")
+        v2 = v[:-7] if nodrop else v
+        impl, _, suffix = v2.partition("_b")
+        bs = int(suffix) if suffix else 48
+        m = dataclasses.replace(model, attn_impl=impl,
+                                **({"dropout": 0.0, "emb_dropout": 0.0}
+                                   if nodrop else {}))
+        try:
+            r = measure(m, lora, fcfg, bs, args.k)
+            print(json.dumps({"variant": v, "attn_impl": impl,
+                              "batch_per_stream": bs, **r}), flush=True)
+        except Exception as e:
+            print(json.dumps({"variant": v, "error": str(e)[:200]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

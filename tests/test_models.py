@@ -157,3 +157,26 @@ def test_sface_returns_six_tuple():
     assert len(out) == 6
     assert out[0].shape == (4, 10)
     assert np.isfinite(float(out[1]))
+
+
+def test_attn_impl_bnhd_matches_xla():
+    """The head-trailing (b,n,h,d) attention layout is a pure layout
+    change — logits must match the default einsum path exactly (same
+    dtype chain, same reductions)."""
+    import dataclasses
+    cfg = ViTConfig(image_size=16, patch_size=8, dim=32, depth=2, heads=2,
+                    dim_head=16, mlp_dim=64, num_class=6, dropout=0.0,
+                    emb_dropout=0.0, head_type="Softmax")
+    lora = LoraConfig(rank=4)
+    params = init_vit_params(jax.random.key(0), cfg, lora)
+    x = jax.random.normal(jax.random.key(1), (3, 3, 16, 16))
+    y = jnp.array([0, 1, 2])
+    lx, ex = vit_apply(params, x, y, cfg, lora, train=False,
+                       compute_dtype=jnp.float32)
+    cfg2 = dataclasses.replace(cfg, attn_impl="bnhd")
+    lb, eb = vit_apply(params, x, y, cfg2, lora, train=False,
+                       compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(lx), np.asarray(lb),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ex), np.asarray(eb),
+                               rtol=1e-5, atol=1e-5)

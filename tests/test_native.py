@@ -63,3 +63,45 @@ def test_native_batched_reads_match_python(native, tmp_path):
     ds = FaceRecordDataset(path, rand_mirror=False)
     assert ds.targets == [i % 3 for i in range(10)]
     r.close()
+
+
+def test_native_image_decode_matches_pil(native, tmp_path):
+    """The C++ decoder (libjpeg/libpng — the codecs PIL wraps) must produce
+    bit-identical floats to the PIL path for already-sized images, and
+    decline (ok=False) images that need a resize."""
+    from PIL import Image
+
+    from gslora_tpu.data.folders import ImageFolderDataset
+    from gslora_tpu.native import decode_image_batch
+
+    rng = np.random.RandomState(0)
+    for c in ("a", "b"):
+        d = tmp_path / c
+        d.mkdir()
+        for i in range(3):
+            arr = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+            Image.fromarray(arr).save(d / f"{i}.jpg", quality=90)
+    # a BMP: unsupported by the native decoder, handled by the PIL
+    # fallback (right-sized, so the batch still stacks)
+    Image.fromarray((rng.rand(16, 16, 3) * 255).astype(np.uint8)).save(
+        tmp_path / "a" / "odd.bmp")
+
+    ds = ImageFolderDataset(str(tmp_path), image_size=16)
+    paths = [s[0] for s in ds.samples]
+    res = decode_image_batch(paths, 16, 16, threads=3)
+    assert res is not None, "native image decoder not built"
+    out, ok = res
+    assert out.shape == (len(paths), 3, 16, 16)
+    for i, p in enumerate(paths):
+        if p.endswith("odd.bmp"):
+            assert not ok[i]
+        else:
+            assert ok[i], p
+            pil = ds.decode(i)
+            np.testing.assert_array_equal(out[i], pil), p
+
+    # the dataset-level batched path stitches native + PIL fallback
+    batch = ds.decode_batch(list(range(len(paths))))
+    for i in range(len(paths)):
+        np.testing.assert_array_equal(batch[i], ds.decode(i))

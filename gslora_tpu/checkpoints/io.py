@@ -36,14 +36,21 @@ def get_time() -> str:
 
 
 class BestHCheckpointer:
-    """Best-H-mean gated saver, pruning to ``keep`` checkpoints."""
+    """Best-H-mean gated saver, pruning to ``keep`` checkpoints.
 
-    def __init__(self, workdir: str, name: str = "VIT", keep: int = 2):
+    ``async_save=True``: the device->host copy stays inline (the values at
+    save time are what land on disk) but serialization + the disk write
+    move to a daemon thread, so the eval/train loop never blocks on IO."""
+
+    def __init__(self, workdir: str, name: str = "VIT", keep: int = 2,
+                 async_save: bool = False):
         self.workdir = workdir
         self.name = name
         self.keep = keep
         self.best_h = float("-inf")
         self._saved: List[str] = []
+        self._pending = None
+        self.async_save = async_save
         os.makedirs(workdir, exist_ok=True)
 
     def save_config(self, cfg_json: str) -> None:
@@ -59,13 +66,27 @@ class BestHCheckpointer:
         fname = (f"Backbone_{self.name}_Epoch_{epoch + 1}_Batch_{batch + 1}"
                  f"_Time_{get_time()}_checkpoint.msgpack")
         path = os.path.join(self.workdir, fname)
-        save_pytree(path, tree)
+        if self.async_save:
+            import threading
+            host_tree = jax.tree.map(np.asarray, tree)  # copy-out inline
+            self.wait()
+            t = threading.Thread(target=save_pytree, args=(path, host_tree),
+                                 daemon=True)
+            t.start()
+            self._pending = t
+        else:
+            save_pytree(path, tree)
         self._saved.append(path)
         while len(self._saved) > self.keep:
             old = self._saved.pop(0)
             if os.path.exists(old):
                 os.remove(old)
         return True
+
+    def wait(self) -> None:
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
 
     def latest(self) -> str | None:
         return self._saved[-1] if self._saved else None

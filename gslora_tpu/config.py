@@ -48,9 +48,10 @@ class ViTConfig:
     # quirk); torchvision ViT-B/16 has qkv bias and standard head-dim scale.
     qkv_bias: bool = False
     attn_scale: str = "dim"  # "dim" | "dim_head"
-    attn_impl: str = "xla"  # xla | bnhd (head-trailing, no
-    # transposes) | dpa (jax.nn.dot_product_attention) | pallas (fused
-    # VMEM-resident kernel)
+    attn_impl: str = "auto"  # auto (pallas on TPU, xla einsum on CPU) |
+    # xla | bnhd (head-trailing, no transposes) | dpa
+    # (jax.nn.dot_product_attention) | pallas (fused VMEM-resident blocked
+    # kernel — measured +5% full-step over the XLA einsums on v5e)
     # rematerialize block activations in backward (jax.checkpoint on the
     # scan body): trades ~33% more FLOPs for O(1)-in-depth activation
     # memory — enables large-batch pretraining within one chip's HBM

@@ -150,7 +150,10 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
     logger.log({"forget_acc_before": forget_acc_before,
                 "remain_acc_before": remain_acc_before}, step=0)
 
-    ckpt = BestHCheckpointer(workdir, name=cfg.net) if workdir else None
+    # async saves on accelerators: the loop never blocks on checkpoint IO
+    ckpt = BestHCheckpointer(workdir, name=cfg.net,
+                             async_save=jax.default_backend() != "cpu") \
+        if workdir else None
     if ckpt:
         ckpt.save_config(cfg.to_json())
 
@@ -243,6 +246,8 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
                 }, step=batch)
 
     run_eval(cfg.num_epoch - 1)
+    if ckpt:
+        ckpt.wait()  # drain any in-flight async save before returning
     norms = lora_group_norms(state.lora, fcfg.group_pos)
     logger.log({f"norm_group_{i}": n for i, n in enumerate(norms)},
                step=batch)

@@ -166,7 +166,13 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
     # vit_face quirk: dim**-0.5 (vit_face.py:346); "dim_head" = standard
     scale = (model.dim if model.attn_scale == "dim" else model.dim_head) \
         ** -0.5
-    if model.attn_impl == "dpa":
+    impl = model.attn_impl
+    if impl == "auto":
+        # blocked Pallas kernel wins on real TPU (2267 vs 2153 img/s full
+        # step, v5e); interpret-mode Pallas on CPU is test-only slow —
+        # keep the XLA einsum there
+        impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+    if impl == "dpa":
         # jax.nn.dot_product_attention ((B,N,H,D) layout): faster in
         # isolation on v5e but SLOWER inside the full fused train step
         # (1943 vs 2163 img/s) — kept as an option; einsum is the default
@@ -181,7 +187,7 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
         out = _dropout(out, model.dropout,
                        rngs[0] if rngs is not None else None, deterministic)
         return x + out
-    if model.attn_impl == "skip":
+    if impl == "skip":
         # ABLATION ONLY (perf lab): bypass scores/softmax/AV, keep the
         # projection GEMMs — isolates the attention-einsum+softmax cost
         out = jnp.einsum("bni,id->bnd", v,
@@ -190,7 +196,7 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
         out = _dropout(out, model.dropout,
                        rngs[0] if rngs is not None else None, deterministic)
         return x + out
-    if model.attn_impl == "bnhd":
+    if impl == "bnhd":
         # head-trailing layout: q/k/v stay (b, n, h, d) — a free reshape of
         # the qkv projection output instead of a physical (b,h,n,d)
         # transpose per tensor per block; heads batch in einsum position 2
@@ -211,7 +217,7 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
     q = rearrange(q, "b n (h d) -> b h n d", d=hd)
     k = rearrange(k, "b n (h d) -> b h n d", d=hd)
     v = rearrange(v, "b n (h d) -> b h n d", d=hd)
-    if model.attn_impl == "pallas":
+    if impl == "pallas":
         from gslora_tpu.ops.attention import fused_attention
         b, hh, n, dh = q.shape
         out = fused_attention(q.reshape(b * hh, n, dh),

@@ -33,61 +33,79 @@ def _is_cpu() -> bool:
     return jax.devices()[0].platform == "cpu"
 
 
-def _qkv_specs(n, d):
-    spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+import os
+
+# (b,h) slices per program — amortizes per-GEMM pipeline bubbles on the
+# MXU (per-slice GEMMs at n=197/d=64 run ~11 TF/s under XLA; blocking 8
+# slices into one program measured +5% full-step throughput on v5e)
+BLOCK_SLICES = int(os.environ.get("GSLORA_ATTN_BLOCK", "8"))
+
+
+def _qkv_specs(g, n, d):
+    spec = pl.BlockSpec((g, n, d), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     return [spec, spec, spec]
 
 
 def _fwd_kernel(scale_ref, q_ref, k_ref, v_ref, o_ref):
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
     dots = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+        q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale_ref[0]
     p = jax.nn.softmax(dots, axis=-1)
-    o = jax.lax.dot_general(p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+    o = jax.lax.dot_general(p.astype(q.dtype), v,
+                            (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+    o_ref[...] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(scale_ref, q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
                 dv_ref):
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    g = g_ref[0]
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    g = g_ref[...]
     scale = scale_ref[0]
     dots = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+        q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale
-    p = jax.nn.softmax(dots, axis=-1)  # (n, n) fp32, recomputed
+    p = jax.nn.softmax(dots, axis=-1)  # (g, n, n) fp32, recomputed
     pb = p.astype(q.dtype)
     # dv = pᵀ g
-    dv = jax.lax.dot_general(pb, g, (((0,), (0,)), ((), ())),
+    dv = jax.lax.dot_general(pb, g, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
     # dp = g vᵀ
-    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+    dp = jax.lax.dot_general(g, v, (((2,), (2,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
     ddots = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     dd = ddots.astype(q.dtype)
-    dq = jax.lax.dot_general(dd, k, (((1,), (0,)), ((), ())),
+    dq = jax.lax.dot_general(dd, k, (((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(dd, q, (((0,), (0,)), ((), ())),
+    dk = jax.lax.dot_general(dd, q, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32) * scale
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+def _block(bh: int) -> int:
+    g = BLOCK_SLICES
+    while g > 1 and bh % g:
+        g //= 2
+    return g
 
 
 def _fwd_call(q, k, v, scale):
     bh, n, d = q.shape
+    g = _block(bh)
     return pl.pallas_call(
         _fwd_kernel,
-        grid=(bh,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + _qkv_specs(n, d),
-        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+        grid=(bh // g,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+        _qkv_specs(g, n, d),
+        out_specs=pl.BlockSpec((g, n, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
         interpret=_is_cpu(),
@@ -96,7 +114,8 @@ def _fwd_call(q, k, v, scale):
 
 @jax.custom_vjp
 def fused_attention(q, k, v, scale: float):
-    """softmax(q kᵀ · scale) v over (BH, n, d) slices, fused per (b,h)."""
+    """softmax(q kᵀ · scale) v over (BH, n, d) slices, fused in blocks of
+    BLOCK_SLICES (b,h) slices per program."""
     return _fwd_call(q, k, v, scale)
 
 
@@ -107,13 +126,14 @@ def _fa_fwd(q, k, v, scale):
 def _fa_bwd(res, g):
     q, k, v, scale = res
     bh, n, d = q.shape
-    spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+    gg = _block(bh)
+    spec = pl.BlockSpec((gg, n, d), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         _bwd_kernel,
-        grid=(bh,),
+        grid=(bh // gg,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
-        _qkv_specs(n, d) + [spec],
+        _qkv_specs(gg, n, d) + [spec],
         out_specs=(spec, spec, spec),
         out_shape=tuple(jax.ShapeDtypeStruct((bh, n, d), q.dtype)
                         for _ in range(3)),

@@ -64,3 +64,39 @@ def test_orbax_roundtrip(tmp_path):
     back = load_orbax(path, params)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_async_saver(tmp_path):
+    import pytest
+    pytest.importorskip("orbax.checkpoint")
+    import numpy as np
+
+    from gslora_tpu.checkpoints.orbax_io import AsyncSaver, load_orbax
+
+    tree = {"a": np.arange(6, dtype=np.float32).reshape(2, 3),
+            "b": {"c": np.float32(3.5)}}
+    s = AsyncSaver()
+    s.save(str(tmp_path / "ck1"), tree)
+    s.wait()
+    back = load_orbax(str(tmp_path / "ck1"))
+    np.testing.assert_array_equal(back["a"], tree["a"])
+    assert float(back["b"]["c"]) == 3.5
+    # overlapping saves serialize correctly
+    s.save(str(tmp_path / "ck2"), {"x": np.ones(4)})
+    s.close()
+    assert (tmp_path / "ck2").exists()
+
+
+def test_best_h_async_save(tmp_path):
+    import numpy as np
+
+    from gslora_tpu.checkpoints.io import BestHCheckpointer, load_pytree
+
+    ck = BestHCheckpointer(str(tmp_path), keep=2, async_save=True)
+    tree = {"w": np.arange(4, dtype=np.float32)}
+    assert ck.maybe_save(1.0, tree, 0, 0)
+    assert not ck.maybe_save(0.5, tree, 0, 1)  # gate still applies
+    assert ck.maybe_save(2.0, {"w": np.ones(4, np.float32) * 7}, 1, 2)
+    ck.wait()
+    back = load_pytree(ck.latest(), tree)
+    np.testing.assert_array_equal(back["w"], np.ones(4) * 7)

@@ -15,11 +15,16 @@ HBM at all):
 Numerics match the model's XLA path: bf16 matmuls with fp32 accumulation,
 fp32 softmax. Runs in interpret mode on CPU for tests.
 
-Measured on v5e (full forget train step, dual-48 batch): 47.5 ms/step vs
-44.5 ms for the XLA einsum path — at n=197/d=64 the per-(b,h) matmuls are
-too small to feed the MXU, so XLA's batched dots win; the kernel stays an
-option (ViTConfig.attn_impl="pallas") and the pattern scales to longer
-sequences (SURVEY §5.7: flash-style attention optional at n=197).
+Measured on v5e (full forget train step, dual-48 batch): with
+BLOCK_SLICES=8 (b,h) slices per program this kernel BEATS the XLA einsum
+path — 42.2 vs 44.5 ms/step (2277 vs 2153 img/s). The per-slice version
+(BLOCK_SLICES=1) loses by ~3 ms: at n=197/d=64 each GEMM underfills the
+MXU and per-program pipeline bubbles dominate; batching 8 slices into one
+program amortizes them. 16/32 slices exceed VMEM at compile. Selected by
+default on TPU via ViTConfig.attn_impl="auto". The residual attention-core
+cost (~12 ms of the 42 ms step) is MXU-geometry-bound: per-head GEMMs
+contract over d_head=64 (half the 128-deep MXU) with 197-token tiles —
+no layout exists that fills the array without changing the math.
 """
 from __future__ import annotations
 
@@ -90,6 +95,17 @@ def _bwd_kernel(scale_ref, q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
     dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
+def _compiler_params():
+    # grid steps are independent (b,h) chunks — let Mosaic pipeline them
+    try:
+        return pltpu.CompilerParams(dimension_semantics=("parallel",))
+    except (AttributeError, TypeError):
+        try:
+            return pltpu.TPUCompilerParams(dimension_semantics=("parallel",))
+        except (AttributeError, TypeError):
+            return None
+
+
 def _block(bh: int) -> int:
     g = BLOCK_SLICES
     while g > 1 and bh % g:
@@ -108,6 +124,7 @@ def _fwd_call(q, k, v, scale):
         out_specs=pl.BlockSpec((g, n, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        compiler_params=_compiler_params(),
         interpret=_is_cpu(),
     )(jnp.full((1,), scale, jnp.float32), q, k, v)
 
@@ -137,6 +154,7 @@ def _fa_bwd(res, g):
         out_specs=(spec, spec, spec),
         out_shape=tuple(jax.ShapeDtypeStruct((bh, n, d), q.dtype)
                         for _ in range(3)),
+        compiler_params=_compiler_params(),
         interpret=_is_cpu(),
     )(jnp.full((1,), scale, jnp.float32), q, k, v, g.astype(q.dtype))
     return dq, dk, dv, None

@@ -128,3 +128,56 @@ def test_forward_throughput_probe():
                             compute_dtype=jnp.float32),
         batch, iters=5)
     assert ips > 0
+
+
+def test_model_parallel_head_equivalence():
+    """data x model mesh (4,2): the (C, d) head weight sharded over the
+    model axis must produce the same training dynamics as unsharded
+    single-device — XLA inserts the right collectives for the head matmul
+    + CE logsumexp (capability parity with the reference's chunked
+    model-parallel heads, vit_face.py:37-51)."""
+    from gslora_tpu.config import MeshConfig
+    from gslora_tpu.engine.forget import make_forget_step
+    from gslora_tpu.engine.state import ForgetState, make_optimizer
+    from gslora_tpu.parallel.mesh import batch_sharding, replicate
+
+    opt = make_optimizer(OptimConfig(lr=1e-3))
+    fcfg = ForgetConfig(bnd=10.0, beta=0.3, alpha=1e-4, alpha_epoch=0)
+    step = make_forget_step(MODEL, LORA, fcfg, opt,
+                            compute_dtype=jnp.float32)
+    protos = jnp.zeros((MODEL.num_class, MODEL.dim), jnp.float32)
+    scalars = {k: jnp.float32(v) for k, v in dict(
+        beta=0.3, alpha=1e-4, lr=1e-3, bnd=10.0, bnd_pro=0.0,
+        w_pro_f=0.0, w_pro_r=0.0).items()}
+    x = np.random.RandomState(0).rand(8, 3, 16, 16).astype(np.float32)
+    y = (np.arange(8) % 6).astype(np.int32)
+
+    def run(mesh):
+        params = init_vit_params(jax.random.key(0), MODEL, LORA)
+        if mesh is not None:
+            params = replicate(mesh, params)  # head sharded over `model`
+            sh = batch_sharding(mesh)
+            xb = jax.device_put(x, sh)
+            yb = jax.device_put(y, sh)
+        else:
+            xb, yb = jnp.asarray(x), jnp.asarray(y)
+        state = ForgetState.create(params, opt)
+        for i in range(3):
+            state, m = step(state, xb, yb, xb, yb, protos, scalars,
+                            jax.random.key(i))
+        return state, m
+
+    s0, m0 = run(None)
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    # head weight really is sharded over the model axis
+    params1 = replicate(mesh, init_vit_params(jax.random.key(0), MODEL, LORA))
+    hsh = params1["base"]["head"]["weight"].sharding
+    assert hsh.spec[0] == "model", hsh
+    s1, m1 = run(mesh)
+    for k in m0:
+        np.testing.assert_allclose(float(m0[k]), float(m1[k]),
+                                   rtol=2e-4, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.lora),
+                    jax.tree_util.tree_leaves(s1.lora)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -327,6 +327,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--open_cls_num", default=0, type=int)
     # baselines
     p.add_argument("--one_stage", action="store_true")  # GS-LoRA
+    # --si exists in the reference flag surface (util/args.py:219) but is
+    # never dispatched by any driver there — accepted here for CLI parity,
+    # equally undispatched (PARITY.md "flag-only")
+    p.add_argument("--si", action="store_true")
     p.add_argument("--retrain", action="store_true")
     p.add_argument("--l2", action="store_true")
     p.add_argument("--l2_lambda", default=0.1, type=float)

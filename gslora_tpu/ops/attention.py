@@ -52,6 +52,15 @@ def _qkv_specs(g, n, d):
     return [spec, spec, spec]
 
 
+_ABLATE = os.environ.get("GSLORA_ATTN_ABLATE", "")  # perf-lab only
+
+
+def _softmax(dots):
+    if _ABLATE == "nosoftmax":  # measure the VPU share (WRONG math)
+        return dots * (1.0 / 197.0)
+    return jax.nn.softmax(dots, axis=-1)
+
+
 def _fwd_kernel(scale_ref, q_ref, k_ref, v_ref, o_ref):
     q = q_ref[...]
     k = k_ref[...]
@@ -59,7 +68,7 @@ def _fwd_kernel(scale_ref, q_ref, k_ref, v_ref, o_ref):
     dots = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale_ref[0]
-    p = jax.nn.softmax(dots, axis=-1)
+    p = _softmax(dots)
     o = jax.lax.dot_general(p.astype(q.dtype), v,
                             (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
@@ -76,7 +85,7 @@ def _bwd_kernel(scale_ref, q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
     dots = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale
-    p = jax.nn.softmax(dots, axis=-1)  # (g, n, n) fp32, recomputed
+    p = _softmax(dots)  # (g, n, n) fp32, recomputed
     pb = p.astype(q.dtype)
     # dv = pᵀ g
     dv = jax.lax.dot_general(pb, g, (((1,), (1,)), ((0,), (0,))),

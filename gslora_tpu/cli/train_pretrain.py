@@ -36,6 +36,20 @@ def main(argv=None):
     logger = MetricLogger(use_wandb=cfg.log_wandb, outdir=cfg.outdir,
                           config=json.loads(cfg.to_json()))
 
+    # data-parallel mesh (--dp): the reference pretrain is the
+    # nn.DataParallel 8-GPU path (train_own.py:403-406, run_sub.sh)
+    mesh = None
+    if getattr(args, "dp", False) and len(jax.devices()) > 1:
+        from gslora_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(cfg.mesh)
+        if cfg.data.batch_size % mesh.shape.get("data", 1) != 0:
+            raise ValueError(
+                f"batch_size {cfg.data.batch_size} not divisible by the "
+                f"mesh data axis ({mesh.shape.get('data', 1)})")
+    from gslora_tpu.parallel.mesh import placement
+    put_params, put_batch = placement(mesh)
+    params = put_params(params)
+
     opt = make_optimizer(cfg.optim)
     state = PretrainState.create(params, opt)
     # lora-only pretraining when a rank is set AND resuming a base ckpt
@@ -44,7 +58,7 @@ def main(argv=None):
                               lora_only=lora_only)
     eval_step = make_eval_step(cfg.model, cfg.lora, compute_dtype=cdt)
 
-    pad = jax.default_backend() != "cpu"  # static shapes on TPU
+    pad = mesh is not None or jax.default_backend() != "cpu"
     loader = BatchLoader(train_ds, cfg.data.batch_size, seed=cfg.data.seed,
                          mask_padding=pad)
     test_batches = lambda: BatchLoader(  # noqa: E731
@@ -61,8 +75,8 @@ def main(argv=None):
         lr = timm_cosine_lr(cfg.optim, epoch)
         for x, y in loader:
             rng, sub = jax.random.split(rng)
-            state, metrics = step(state, jnp.asarray(x), jnp.asarray(y),
-                                  jnp.float32(lr), sub)
+            xb, yb = put_batch(x, y)
+            state, metrics = step(state, xb, yb, jnp.float32(lr), sub)
             if (batch + 1) % cfg.disp_freq == 0:
                 logger.log({k: float(v) for k, v in metrics.items()},
                            step=batch)

@@ -136,3 +136,13 @@ def test_train_forget_cl_cli_baseline_open_set(tmp_path):
         "--data_ratio", "1.0",
     ]))
     assert report[0]["open_acc"] is not None
+
+
+def test_train_pretrain_cli_dp(tmp_path):
+    """Pretrain driver under --dp: the reference's DataParallel path
+    (train_own.py:403-406) as batch sharding over the 8-device mesh."""
+    from gslora_tpu.cli import train_pretrain
+    report = train_pretrain.main(_common_args(tmp_path, [
+        "-e", "1", "--lr", "1e-3", "--dp",
+    ]))
+    assert report["final_test_acc"] >= 0

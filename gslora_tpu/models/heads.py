@@ -88,9 +88,17 @@ def sface_head(params: Dict, emb: jax.Array, labels: jax.Array,
     weight_j = 1.0 / (1.0 + jnp.exp(k * (theta_j - b)))
     inter = jnp.sum(weight_j * Wj, axis=1)
 
-    loss = intra.mean() + inter.mean()
-    return output, loss, intra.mean(), inter.mean(), (WyiX / s).mean(), \
-        (Wj / s).mean()
+    # mask pad-sentinel rows (label -1, BatchLoader mask_padding): their
+    # zero_hot row is all-ones and would pollute the inter mean
+    w = (labels >= 0).astype(cos.dtype)
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+
+    def _mean(v):
+        return jnp.sum(v * w) / denom
+
+    loss = _mean(intra) + _mean(inter)
+    return output, loss, _mean(intra), _mean(inter), _mean(WyiX / s), \
+        jnp.sum((Wj / s) * w[:, None]) / (denom * Wj.shape[-1])
 
 
 HEAD_FNS = {

@@ -53,6 +53,7 @@ def _qkv_specs(g, n, d):
 
 
 _ABLATE = os.environ.get("GSLORA_ATTN_ABLATE", "")  # perf-lab only
+_UNROLL = os.environ.get("GSLORA_ATTN_UNROLL", "") == "1"  # perf-lab only
 
 
 def _softmax(dots):
@@ -65,6 +66,20 @@ def _fwd_kernel(scale_ref, q_ref, k_ref, v_ref, o_ref):
     q = q_ref[...]
     k = k_ref[...]
     v = v_ref[...]
+    if _UNROLL:
+        # statically unrolled per-slice chain: independent instruction
+        # streams let Mosaic overlap slice i's softmax (VPU) with slice
+        # i+1's dots (MXU)
+        for i in range(q.shape[0]):
+            dots = jax.lax.dot_general(
+                q[i], k[i], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale_ref[0]
+            p = _softmax(dots)
+            o = jax.lax.dot_general(p.astype(q.dtype), v[i],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            o_ref[i] = o.astype(o_ref.dtype)
+        return
     dots = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale_ref[0]

@@ -144,3 +144,21 @@ def test_masked_reductions_ignore_pad_sentinel():
         np.testing.assert_allclose(
             float(prototype_loss(emb, pad, protos, dist)),
             float(prototype_loss(emb[:4], labels, protos, dist)), rtol=1e-6)
+
+
+def test_sface_masked_matches_unpadded():
+    """sface_head on [valid; pad(-1)] equals sface_head on [valid]
+    (loss and all summary stats; logits row content for pads is ignored)."""
+    import numpy as np
+    from gslora_tpu.models.heads import sface_head
+
+    rng = np.random.RandomState(0)
+    params = {"weight": jnp.asarray(rng.randn(5, 8).astype(np.float32))}
+    emb = jnp.asarray(rng.randn(6, 8).astype(np.float32))
+    labels = jnp.asarray(np.array([0, 3, 2, 1], np.int32))
+    pad = jnp.concatenate([labels, jnp.full((2,), -1, jnp.int32)])
+
+    full = sface_head(params, emb, pad)
+    ref = sface_head(params, emb[:4], labels)
+    for a, b in zip(full[1:], ref[1:]):  # skip logits (shape differs)
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-6)

@@ -148,3 +148,46 @@ def perform_val(embed_fn, data_set, issame, embedding_size: int = 512,
     if return_roc:
         return out + ((fpr, tpr),)
     return out
+
+
+def perform_val_deit(embed_fn, dis_token, data_set, issame,
+                     embedding_size: int = 512, batch_size: int = 256,
+                     nrof_folds: int = 10, return_roc: bool = False):
+    """DeiT-variant pair verification (util/utils.py:232-295
+    perform_val_deit): identical protocol to :func:`perform_val` except the
+    backbone takes a distillation token alongside each image batch —
+    ``embed_fn(batch, dis_token) -> (B, d)``.
+
+    Reference quirks kept: full batches pass the token while the ragged
+    tail batch is embedded WITHOUT it (utils.py:253-266 calls
+    ``backbone(batch)`` for the remainder — ``embed_fn`` receives
+    ``dis_token=None`` there), and the per-image xnorm statistic is
+    averaged over every embedding of both flip passes (utils.py:269-278).
+    No model in the reference (or here) actually consumes the token — the
+    path exists for checkpoint-evaluation parity only.
+    """
+    embeddings_list = []
+    for carray in data_set:
+        n = len(carray)
+        embs = np.zeros((n, embedding_size), np.float64)
+        idx = 0
+        while idx + batch_size <= n:
+            embs[idx:idx + batch_size] = np.asarray(
+                embed_fn(carray[idx:idx + batch_size], dis_token))
+            idx += batch_size
+        if idx < n:
+            embs[idx:] = np.asarray(embed_fn(carray[idx:], None))
+        embeddings_list.append(embs)
+
+    xnorm = float(np.mean([np.linalg.norm(e, axis=1).mean()
+                           for e in embeddings_list]))
+    embeddings = embeddings_list[0] + embeddings_list[1]
+    embeddings /= np.maximum(
+        np.linalg.norm(embeddings, axis=1, keepdims=True), 1e-12)
+    tpr, fpr, accuracy, best_thresholds = evaluate_verification(
+        embeddings, issame, nrof_folds)
+    out = (float(accuracy.mean()), float(accuracy.std()), xnorm,
+           float(best_thresholds.mean()))
+    if return_roc:
+        return out + ((fpr, tpr),)
+    return out

@@ -19,7 +19,7 @@ STEP_GFLOP_PER_IMG = 24.0  # analytic 3x fwd (BASELINE.md derivation)
 CEILING_TFLOPS = 67.0  # observed v5e bf16 ceiling on this tunnel (DEVNOTES)
 
 
-def measure(model, lora, fcfg, bs: int, k: int):
+def measure(model, lora, fcfg, bs: int, k: int, lora_apply: str = "merged"):
     import jax
     import jax.numpy as jnp
 
@@ -34,7 +34,7 @@ def measure(model, lora, fcfg, bs: int, k: int):
     state = ForgetState.create(params, opt)
     step = make_forget_step(model, lora, fcfg, opt,
                             compute_dtype=jnp.bfloat16, use_prototype=True,
-                            lora_apply="merged", fused_batch=True)
+                            lora_apply=lora_apply, fused_batch=True)
     xf = jax.random.normal(jax.random.key(1), (bs, 3, 112, 112), jnp.float32)
     yf = jnp.arange(bs, dtype=jnp.int32) % 10 + 90
     xr = jax.random.normal(jax.random.key(2), (bs, 3, 112, 112), jnp.float32)
@@ -88,16 +88,24 @@ def main():
     model, lora, fcfg = _flagship_configs()
 
     for v in args.variants.split(","):
-        nodrop = v.endswith("_nodrop")
-        v2 = v[:-7] if nodrop else v
-        impl, _, suffix = v2.partition("_b")
-        bs = int(suffix) if suffix else 48
+        # grammar: impl[_fact][_bNN][_nodrop] — "fact" switches
+        # lora_apply from "merged" (fold B@A into the kernels; backward
+        # pays full dW GEMMs for the merged fc1/fc2) to "factored"
+        # (skinny low-rank matmuls; partial-eval drops the frozen-base
+        # weight-grad GEMMs entirely)
+        parts = v.split("_")
+        impl = parts[0]
+        lora_apply = "factored" if "fact" in parts[1:] else "merged"
+        nodrop = "nodrop" in parts[1:]
+        bs = next((int(p[1:]) for p in parts[1:]
+                   if p.startswith("b") and p[1:].isdigit()), 48)
         m = dataclasses.replace(model, attn_impl=impl,
                                 **({"dropout": 0.0, "emb_dropout": 0.0}
                                    if nodrop else {}))
         try:
-            r = measure(m, lora, fcfg, bs, args.k)
+            r = measure(m, lora, fcfg, bs, args.k, lora_apply=lora_apply)
             print(json.dumps({"variant": v, "attn_impl": impl,
+                              "lora_apply": lora_apply,
                               "batch_per_stream": bs, **r}), flush=True)
         except Exception as e:
             print(json.dumps({"variant": v, "error": str(e)[:200]}),

@@ -71,6 +71,39 @@ def test_perform_val_with_flip_sum():
     assert xnorm > 0
 
 
+def test_perform_val_deit_token_protocol():
+    """perform_val_deit: full batches embed WITH the dis token, the ragged
+    tail WITHOUT (reference utils.py:253-266), and results match
+    perform_val when the token is a no-op."""
+    from gslora_tpu.evaluation.verification import perform_val_deit
+    rng = np.random.RandomState(3)
+    n, d = 40, 16  # batch 16 -> two full batches + ragged tail of 8
+    images = rng.rand(n, 3, 8, 8).astype(np.float32)
+    flipped = images[:, :, :, ::-1].copy()
+    proj = rng.randn(3 * 8 * 8, d).astype(np.float32)
+    token = np.ones((1, d), np.float32)
+    calls = []
+
+    def embed_fn(batch, dis_token):
+        calls.append((len(batch), dis_token is not None))
+        return batch.reshape(len(batch), -1) @ proj
+
+    issame = [True, False] * (n // 4)
+    acc, std, xnorm, thr = perform_val_deit(
+        embed_fn, token, (images, flipped), issame,
+        embedding_size=d, batch_size=16)
+    # two flip passes x (2 full-with-token + 1 tail-without)
+    assert calls == [(16, True), (16, True), (8, False)] * 2
+    assert 0 <= acc <= 1 and xnorm > 0
+
+    def embed_plain(batch):
+        return batch.reshape(len(batch), -1) @ proj
+
+    ref = perform_val(embed_plain, (images, flipped), issame,
+                      embedding_size=d, batch_size=16)
+    assert np.allclose((acc, std, xnorm, thr), ref)
+
+
 def test_recordio_roundtrip(tmp_path):
     PIL = pytest.importorskip("PIL")
     from PIL import Image

@@ -128,7 +128,8 @@ def run_distill_task(cfg: RunConfig, params, teacher_params,
     opt = make_optimizer(cfg.optim)
     state = PretrainState.create(params, opt)
     step = make_distill_step(method, cfg.model, cfg.lora, opt, hp,
-                             compute_dtype=cdt)
+                             compute_dtype=cdt,
+                             faithful_zero_kd=b.lwf_faithful_zero_kd)
     eval_step = make_eval_step(cfg.model, cfg.lora, compute_dtype=cdt)
 
     facc_before = eval_accuracy(eval_step, state.params, test_batches_f())

@@ -180,6 +180,8 @@ class BaselineConfig:
     lwf_T: float = 2.0
     lwf_lambda_kd: float = 0.5
     lwf_lambda_remain: float = 1.0
+    # reproduce the reference's self-zeroing KD term (Lwftrain.py:16-24)
+    lwf_faithful_zero_kd: bool = False
     # DER
     der_lambda: float = 0.1
     der_plus: bool = False
@@ -343,6 +345,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--Lwf_T", default=2.0, type=float)
     p.add_argument("--Lwf_lambda_kd", default=0.5, type=float)
     p.add_argument("--Lwf_lambda_remain", default=1.0, type=float)
+    # gslora_tpu addition: the reference's LwF KD term self-zeroes (double
+    # log bug, Lwftrain.py:16-24). Default here is the intended loss; this
+    # flag reproduces the reference's no-op term bit-faithfully.
+    p.add_argument("--lwf_faithful_zero_kd", action="store_true")
     p.add_argument("--Der", action="store_true")
     p.add_argument("--DER_lambda", default=0.1, type=float)
     p.add_argument("--DER_plus", action="store_true")
@@ -405,6 +411,11 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
     for flag, name in _METHOD_FLAGS:
         if getattr(args, flag, False):
             method = name
+    if getattr(args, "si", False):
+        import warnings
+        warnings.warn("--si is accepted for reference-CLI parity but, as in "
+                      "the reference (util/args.py:219), no driver "
+                      "dispatches it — the flag is a no-op", stacklevel=2)
     if getattr(args, "replay", False) and method == "gs_lora":
         method = "replay"
     if getattr(args, "DER_plus", False):
@@ -460,6 +471,8 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
             mas_lambda=args.mas_lambda, replay=args.replay,
             lwf_T=args.Lwf_T, lwf_lambda_kd=args.Lwf_lambda_kd,
             lwf_lambda_remain=args.Lwf_lambda_remain,
+            lwf_faithful_zero_kd=getattr(args, "lwf_faithful_zero_kd",
+                                         False),
             der_lambda=args.DER_lambda, der_plus=args.DER_plus,
             der_plus_lambda=args.DER_plus_lambda,
             fdr_lambda=args.FDR_lambda,

@@ -123,6 +123,51 @@ def test_distill_family(setup, method):
     assert out["forget_acc"] < out["forget_acc_before"] + 1e-6
 
 
+def test_lwf_faithful_zero_kd(setup):
+    """--lwf_faithful_zero_kd reproduces the reference's self-zeroing KD
+    term (Lwftrain.py:16-24): loss_KD is identically 0 and the update
+    equals an LwF step with lambda_kd=0."""
+    from gslora_tpu.baselines.distill import make_distill_step
+    from gslora_tpu.engine.pretrain import PretrainState
+    from gslora_tpu.engine.state import make_optimizer
+    params, forget_tr, remain_tr, _, _ = setup
+    fl, rl, _, _ = _loaders(forget_tr, remain_tr, forget_tr, remain_tr)
+    xf, yf = next(iter(fl))
+    xr, yr = next(iter(rl))
+    hp = {"T": 2.0, "lambda_kd": 0.5, "lambda_remain": 1.0,
+          "lambda_der": 0.1, "lambda_der_plus": 0.1, "lambda_fdr": 0.1}
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-3))
+
+    def one(faithful, lam_kd):
+        h = dict(hp, lambda_kd=lam_kd)
+        step = make_distill_step("lwf", MODEL, LORA, opt, h,
+                                 compute_dtype=jnp.float32,
+                                 faithful_zero_kd=faithful)
+        st = PretrainState.create(params, opt)
+        st2, m = step(st, params, xf, yf, xr, yr, xr, yr,
+                      jnp.float32(1e-3), jax.random.key(0))
+        return st2, m
+
+    st_f, m_f = one(True, 0.5)
+    st_0, m_0 = one(False, 0.0)
+    assert float(m_f["loss_KD"]) == 0.0
+    assert float(m_0["loss_KD"]) > 0.0  # intended loss is live
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-7),
+                 st_f.params, st_0.params)
+
+    # CLI plumbing: flag -> BaselineConfig; --si warns (no-op parity)
+    import warnings
+    from gslora_tpu.config import build_parser, config_from_args
+    a = build_parser().parse_args(
+        ["--Lwf", "--lwf_faithful_zero_kd", "--si", "--data_mode",
+         "synthetic"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = config_from_args(a)
+    assert cfg.baseline.lwf_faithful_zero_kd is True
+    assert any("--si" in str(x.message) for x in w)
+
+
 def test_scrub(setup):
     params, forget_tr, remain_tr, forget_te, remain_te = setup
     # SCRUB uses true labels and the FULL (unsubsampled) forget set

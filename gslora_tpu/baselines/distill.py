@@ -33,14 +33,24 @@ from gslora_tpu.losses.distillation import lwf_kd_loss
 from gslora_tpu.models.vit import vit_apply
 
 
-def der_loss(emb_s, emb_t) -> jax.Array:
+def der_loss(emb_s, emb_t, labels=None) -> jax.Array:
+    """Squared Frobenius norm SUM (DERtrain.py:12-16) over valid rows
+    (label -1 = pad sentinel, excluded)."""
     d = emb_s.astype(jnp.float32) - emb_t.astype(jnp.float32)
-    return jnp.sum(d * d)  # squared Frobenius norm (DERtrain.py:12-16)
+    per_row = jnp.sum(d * d, axis=1)
+    if labels is not None:
+        per_row = per_row * (labels >= 0).astype(jnp.float32)
+    return jnp.sum(per_row)
 
 
-def fdr_loss(logits_s, logits_t) -> jax.Array:
+def fdr_loss(logits_s, logits_t, labels=None) -> jax.Array:
+    """Mean row-wise L2 (FDRtrain.py:17-19) over valid rows."""
     d = logits_s.astype(jnp.float32) - logits_t.astype(jnp.float32)
-    return jnp.mean(jnp.linalg.norm(d, axis=1))  # FDRtrain.py:17-19
+    per_row = jnp.linalg.norm(d, axis=1)
+    if labels is None:
+        return jnp.mean(per_row)
+    w = (labels >= 0).astype(jnp.float32)
+    return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def make_distill_step(method: str, model: ViTConfig, lora: LoraConfig,
@@ -63,12 +73,12 @@ def make_distill_step(method: str, model: ViTConfig, lora: LoraConfig,
         metrics = {"loss_CE": ce_f}
         if method == "lwf":
             kd = jnp.float32(0.0) if faithful_zero_kd else \
-                lwf_kd_loss(logits_r, t_logits_r, hp["T"])
+                lwf_kd_loss(logits_r, t_logits_r, hp["T"], labels=yr)
             ce_r = cross_entropy(logits_r, yr)
             total = ce_f + hp["lambda_kd"] * kd + hp["lambda_remain"] * ce_r
             metrics.update(loss_KD=kd, loss_remain=ce_r)
         elif method in ("der", "der_plus"):
-            ld = der_loss(emb_r, t_emb_r)
+            ld = der_loss(emb_r, t_emb_r, labels=yr)
             total = ce_f + hp["lambda_der"] * ld
             metrics.update(loss_DER=ld)
             if method == "der_plus":
@@ -79,7 +89,7 @@ def make_distill_step(method: str, model: ViTConfig, lora: LoraConfig,
                 total = total + hp["lambda_der_plus"] * ce_r2
                 metrics.update(loss_CE_next=ce_r2)
         elif method == "fdr":
-            lf = fdr_loss(logits_r, t_logits_r)
+            lf = fdr_loss(logits_r, t_logits_r, labels=yr)
             total = ce_f + hp["lambda_fdr"] * lf
             metrics.update(loss_FDR=lf)
         else:

@@ -85,10 +85,12 @@ def make_lirf_step(model: ViTConfig, lora: LoraConfig, optimizer,
         t_final = jax.lax.stop_gradient(t_final)
 
         loss_ce = cross_entropy(s_final, yf) * (1 - alpha)
-        loss_at = attention_transfer_loss(s_mid, t_mid)
-        kd_kp = kd_kl_loss(s_final[:, split:], t_final[:, split:], T) * alpha
-        loss_pt_re = kd_kl_loss(d_final[:, :split], t_final[:, :split], T) \
-            * alpha + cross_entropy(d_final, yf) * (1 - alpha)
+        loss_at = attention_transfer_loss(s_mid, t_mid, labels=yf)
+        kd_kp = kd_kl_loss(s_final[:, split:], t_final[:, split:], T,
+                           labels=yf) * alpha
+        loss_pt_re = kd_kl_loss(d_final[:, :split], t_final[:, :split], T,
+                                labels=yf) * alpha + \
+            cross_entropy(d_final, yf) * (1 - alpha)
 
         sr_mid = _low_tokens(student_low, xr, model, lora, train=True,
                              rng=r3, cdt=cdt)

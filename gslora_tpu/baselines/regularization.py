@@ -71,13 +71,17 @@ def estimate_importance(method: str, params, batches, model: ViTConfig,
         def ce_loss(p, x, y):
             logits, _ = vit_apply(p, x, y, model, lora, train=False,
                                   compute_dtype=compute_dtype)
-            return cross_entropy(logits, y)
+            return cross_entropy(logits, y)  # masks the -1 pad sentinel
         grad_fn = jax.jit(jax.grad(ce_loss))
     elif method == "mas":
         def mas_loss(p, x, y):
             logits, _ = vit_apply(p, x, y, model, lora, train=False,
                                   compute_dtype=compute_dtype)
-            return jnp.mean(logits.astype(jnp.float32) ** 2)
+            # mean of logits^2 over valid rows only (pad rows excluded so
+            # padded tail batches match the reference's unpadded batch)
+            sq = jnp.mean(logits.astype(jnp.float32) ** 2, axis=1)
+            w = (y >= 0).astype(jnp.float32)
+            return jnp.sum(sq * w) / jnp.maximum(jnp.sum(w), 1.0)
         grad_fn = jax.jit(jax.grad(mas_loss))
     else:
         raise ValueError(f"unknown importance method {method}")
@@ -86,10 +90,12 @@ def estimate_importance(method: str, params, batches, model: ViTConfig,
     n = len(batches)
     imp = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
     for x, y in batches:
-        g = grad_fn(params, jnp.asarray(x), jnp.asarray(y))
+        y = jnp.asarray(y)
+        g = grad_fn(params, jnp.asarray(x), y)
         if method == "ewc":
-            # weight len(batch)/len(loader) like the reference (:1505-1510)
-            w = x.shape[0] / n
+            # weight len(batch)/len(loader) like the reference (:1505-1510);
+            # count only valid (non-pad) rows
+            w = float(jnp.sum(y >= 0)) / n
             imp = jax.tree.map(
                 lambda i, gg: i + (gg.astype(jnp.float32) ** 2) * w, imp, g)
         else:

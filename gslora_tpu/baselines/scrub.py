@@ -63,7 +63,7 @@ def make_scrub_steps(model: ViTConfig, lora: LoraConfig, optimizer,
         t_logits, _ = jax.lax.stop_gradient(
             vit_apply(teacher, x, y, model, lora, train=False,
                       compute_dtype=compute_dtype))
-        kd = kd_kl_loss(logits, t_logits, kd_T)
+        kd = kd_kl_loss(logits, t_logits, kd_T, labels=y)
         sgda = param_dist(params, swa, smoothing)
         total = -kd + sgda
         return total, {"loss_kd_forget": kd, "loss_total_forget": total}
@@ -74,7 +74,7 @@ def make_scrub_steps(model: ViTConfig, lora: LoraConfig, optimizer,
         t_logits, _ = jax.lax.stop_gradient(
             vit_apply(teacher, x, y, model, lora, train=False,
                       compute_dtype=compute_dtype))
-        kd = kd_kl_loss(logits, t_logits, kd_T)
+        kd = kd_kl_loss(logits, t_logits, kd_T, labels=y)
         ce = cross_entropy(logits, y)
         total = gamma * ce + alpha * kd + param_dist(params, swa, smoothing)
         return total, {"loss_kd_remain": kd, "loss_CE": ce,

@@ -50,6 +50,7 @@ class BestHCheckpointer:
         self.best_h = float("-inf")
         self._saved: List[str] = []
         self._pending = None
+        self._error: BaseException | None = None
         self.async_save = async_save
         os.makedirs(workdir, exist_ok=True)
 
@@ -69,9 +70,15 @@ class BestHCheckpointer:
         if self.async_save:
             import threading
             host_tree = jax.tree.map(np.asarray, tree)  # copy-out inline
-            self.wait()
-            t = threading.Thread(target=save_pytree, args=(path, host_tree),
-                                 daemon=True)
+            self.wait()  # raises here if the previous background save died
+
+            def _write():
+                try:
+                    save_pytree(path, host_tree)
+                except BaseException as e:  # surfaced by the next wait()
+                    self._error = e
+
+            t = threading.Thread(target=_write, daemon=True)
             t.start()
             self._pending = t
         else:
@@ -84,9 +91,16 @@ class BestHCheckpointer:
         return True
 
     def wait(self) -> None:
+        """Drain the in-flight async save; re-raise a background write
+        failure instead of silently reporting a checkpoint that was never
+        written."""
         if self._pending is not None:
             self._pending.join()
             self._pending = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError(
+                f"async checkpoint write failed: {err!r}") from err
 
     def latest(self) -> str | None:
         return self._saved[-1] if self._saved else None

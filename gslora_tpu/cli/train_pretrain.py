@@ -63,7 +63,7 @@ def main(argv=None):
                          mask_padding=pad)
     test_batches = lambda: BatchLoader(  # noqa: E731
         test_ds, cfg.data.batch_size * cfg.data.test_batch_scale,
-        shuffle=False, prefetch=0)
+        shuffle=False, prefetch=0, mask_padding=pad)
 
     ckpt = BestHCheckpointer(cfg.outdir, name=cfg.net) if cfg.outdir else None
     if ckpt:

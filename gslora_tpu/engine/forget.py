@@ -37,7 +37,8 @@ def make_forget_step(model: ViTConfig, lora: LoraConfig, fcfg: ForgetConfig,
                      use_prototype: Optional[bool] = None,
                      structure_mode: str = "loss",
                      lora_apply: str = "factored",
-                     fused_batch: bool = False):
+                     fused_batch: bool = False,
+                     trainable: str = "lora"):
     """Build the jitted dual-batch train step.
 
     step(state, xf, yf, xr, yr, protos, scalars, rng) -> (state, metrics)
@@ -50,11 +51,25 @@ def make_forget_step(model: ViTConfig, lora: LoraConfig, fcfg: ForgetConfig,
       "prox" — fused Pallas proximal soft-threshold applied AFTER the data
                step with threshold lr*alpha (drives groups exactly to zero;
                SURVEY §7.3 opt-in mode).
+
+    trainable:
+      "lora" — only the LoRA subtree updates (mark_only_lora_as_trainable,
+               train_own_forget.py:650-651);
+      "base" — ALL parameters update: the reference's lora_rank=0 one-stage
+               path ("train all parameters",
+               train_own_forget_open.py:699-706) used by the open-set
+               recipes. The state must be created with
+               ForgetState.create(..., trainable="base").
     """
     use_proto = fcfg.prototype if use_prototype is None else use_prototype
     use_prox = structure_mode == "prox"
+    train_base = trainable == "base"
 
-    def loss_fn(lora_tree, base, xf, yf, xr, yr, protos, sc, rng):
+    def loss_fn(train_tree, other, xf, yf, xr, yr, protos, sc, rng):
+        if train_base:
+            base, lora_tree = train_tree, other
+        else:
+            base, lora_tree = other, train_tree
         params = {"base": base, "lora": lora_tree}
         if fused_batch:
             # one forward over [forget; remain] — fewer, bigger matmuls
@@ -110,16 +125,21 @@ def make_forget_step(model: ViTConfig, lora: LoraConfig, fcfg: ForgetConfig,
     # caller-held initial params on TPU
     @jax.jit
     def step(state: ForgetState, xf, yf, xr, yr, protos, scalars, rng):
+        train_tree = state.base if train_base else state.lora
+        other = state.lora if train_base else state.base
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            state.lora, state.base, xf, yf, xr, yr, protos, scalars, rng)
+            train_tree, other, xf, yf, xr, yr, protos, scalars, rng)
         opt_state = _with_lr(state.opt_state, scalars["lr"])
-        updates, opt_state = optimizer.update(grads, opt_state, state.lora)
-        new_lora = optax.apply_updates(state.lora, updates)
+        updates, opt_state = optimizer.update(grads, opt_state, train_tree)
+        new_tree = optax.apply_updates(train_tree, updates)
+        if train_base:
+            return state.replace(base=new_tree, opt_state=opt_state,
+                                 step=state.step + 1), metrics
         if use_prox:
             from gslora_tpu.ops.group_lasso import lora_group_prox
-            new_lora = lora_group_prox(
-                new_lora, scalars["lr"] * scalars["alpha"])
-        return state.replace(lora=new_lora, opt_state=opt_state,
+            new_tree = lora_group_prox(
+                new_tree, scalars["lr"] * scalars["alpha"])
+        return state.replace(lora=new_tree, opt_state=opt_state,
                              step=state.step + 1), metrics
 
     return step

@@ -106,11 +106,16 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
         return jnp.asarray(x), jnp.asarray(y)
 
     opt = make_optimizer(cfg.optim)
-    state = ForgetState.create(params, opt)
+    # lora_rank 0 → the reference trains ALL parameters under the same
+    # dual-batch loss ("train all parameters",
+    # train_own_forget_open.py:699-706 — the open-set recipe path)
+    trainable = "lora" if params.get("lora") else "base"
+    state = ForgetState.create(params, opt, trainable=trainable)
     step_fn = make_forget_step(model, lora, fcfg, opt, compute_dtype=cdt,
                                lora_apply=cfg.lora_apply,
                                structure_mode=cfg.structure_mode,
-                               fused_batch=cfg.fused_batch)
+                               fused_batch=cfg.fused_batch,
+                               trainable=trainable)
     eval_step = make_eval_step(model, lora, compute_dtype=cdt)
 
     # prototypes from the *pretrained* model over forget ∪ remain subsets

@@ -17,16 +17,21 @@ from gslora_tpu.config import OptimConfig
 
 @struct.dataclass
 class ForgetState:
-    base: Any  # frozen backbone + head params
+    base: Any  # backbone + head params (frozen unless trainable="base")
     lora: Any  # trainable stacked LoRA tree
     opt_state: Any
     step: jax.Array  # int32 global step
 
     @classmethod
-    def create(cls, params, optimizer) -> "ForgetState":
+    def create(cls, params, optimizer,
+               trainable: str = "lora") -> "ForgetState":
+        """``trainable``: "lora" (default — mark_only_lora_as_trainable
+        semantics) or "base" (rank 0: the reference trains ALL parameters,
+        train_own_forget_open.py:699-706)."""
         import jax.numpy as jnp
+        sub = params["base"] if trainable == "base" else params["lora"]
         return cls(base=params["base"], lora=params["lora"],
-                   opt_state=optimizer.init(params["lora"]),
+                   opt_state=optimizer.init(sub),
                    step=jnp.int32(0))
 
     @property

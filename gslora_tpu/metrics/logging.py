@@ -120,20 +120,17 @@ def make_run_name(cfg, num_epoch: int | None = None) -> str:
     ``remain-{first}-forget-{per}-lora_rank-{r}beta{b}lr{lr}BND{bnd}alpha{a}``
     with ``-warmup_alpha{big}`` appended and few-shot / EMA prefixes."""
     f = cfg.forget
-
-    def _n(x: float) -> str:  # str(float) like argparse-typed values
-        xi = int(x)
-        return str(xi) if x == xi and not isinstance(x, float) else str(x)
-
+    # str() everywhere matches the reference exactly: its values come
+    # straight from argparse-typed floats/ints through str concatenation
     name = ("remain-" + str(f.num_of_first_cls) + "-forget-" +
             str(f.per_forget_cls) + "-lora_rank-" + str(cfg.lora.rank) +
-            "beta" + _n(f.beta) + "lr" + _n(cfg.optim.lr) +
-            "BND" + _n(f.bnd) + "alpha" + _n(f.alpha))
+            "beta" + str(f.beta) + "lr" + str(cfg.optim.lr) +
+            "BND" + str(f.bnd) + "alpha" + str(f.alpha))
     if f.warmup_alpha:
-        name = name + "-warmup_alpha" + _n(f.big_alpha)
+        name = name + "-warmup_alpha" + str(f.big_alpha)
     if f.few_shot:
         name = ("few_shot-" + str(f.few_shot_num) + "epoch-" +
                 str(cfg.num_epoch if num_epoch is None else num_epoch) + name)
     if f.average_weight:
-        name = "EMA" + _n(f.ema_decay) + "-epoch" + str(f.ema_epoch) + name
+        name = "EMA" + str(f.ema_decay) + "-epoch" + str(f.ema_epoch) + name
     return name

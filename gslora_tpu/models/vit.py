@@ -170,8 +170,13 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
     if impl == "auto":
         # blocked Pallas kernel wins on real TPU (2267 vs 2153 img/s full
         # step, v5e); interpret-mode Pallas on CPU is test-only slow —
-        # keep the XLA einsum there
-        impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+        # keep the XLA einsum there. Multi-device: the pallas_call custom
+        # op carries no GSPMD partitioning rule, so under a --dp mesh the
+        # partitioner would replicate/all-gather the attention operands —
+        # resolve to the einsums, which shard batch-wise for free.
+        single = jax.device_count() == 1
+        impl = "pallas" if (jax.default_backend() != "cpu" and single) \
+            else "xla"
     if impl == "dpa":
         # jax.nn.dot_product_attention ((B,N,H,D) layout): faster in
         # isolation on v5e but SLOWER inside the full fused train step

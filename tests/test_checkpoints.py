@@ -100,3 +100,21 @@ def test_best_h_async_save(tmp_path):
     ck.wait()
     back = load_pytree(ck.latest(), tree)
     np.testing.assert_array_equal(back["w"], np.ones(4) * 7)
+
+
+def test_best_h_async_save_surfaces_write_failure(tmp_path):
+    """A failed background write must raise at the next wait(), not leave
+    a phantom 'best' checkpoint that was never written."""
+    import pytest
+
+    from gslora_tpu.checkpoints.io import BestHCheckpointer
+
+    ck = BestHCheckpointer(str(tmp_path), keep=2, async_save=True)
+    # unserializable leaf -> background save_pytree raises
+    assert ck.maybe_save(1.0, {"w": object()}, 0, 0)
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        ck.wait()
+    # the error is consumed; the checkpointer remains usable
+    import numpy as np
+    assert ck.maybe_save(2.0, {"w": np.ones(2, np.float32)}, 0, 1)
+    ck.wait()

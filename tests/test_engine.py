@@ -68,6 +68,70 @@ def test_forget_step_trains_only_lora():
         assert np.isfinite(float(v)), k
 
 
+def test_forget_step_rank0_trains_all_params():
+    """lora_rank 0 → the reference trains ALL parameters under the same
+    dual-batch loss (train_own_forget_open.py:699-706, the open-set
+    recipes). trainable="base" updates the full base tree."""
+    lora0 = LoraConfig(rank=0)
+    params = init_vit_params(jax.random.key(0), CFG, lora0)
+    assert params["lora"] == {}
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-2))
+    state = ForgetState.create(params, opt, trainable="base")
+    fcfg = ForgetConfig(bnd=30.0, beta=0.5, alpha=0.0, prototype=False)
+    step = make_forget_step(CFG, lora0, fcfg, opt, compute_dtype=jnp.float32,
+                            trainable="base")
+    xf, yf, xr, yr, protos = _batches()
+    base_before = jax.tree.map(lambda a: np.asarray(a), state.base)
+    for i in range(3):
+        state, metrics = step(state, xf, yf, xr, yr, protos, SCALARS,
+                              jax.random.key(i))
+    diffs = [np.abs(a - np.asarray(b)).max() for a, b in
+             zip(jax.tree.leaves(base_before), jax.tree.leaves(state.base))]
+    assert max(diffs) > 1e-6  # the backbone itself moved
+    assert int(state.step) == 3
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_run_forget_training_rank0(tmp_path):
+    """The loop auto-selects full-model training when the LoRA tree is
+    empty (the open-set recipe path) and still forgets."""
+    from gslora_tpu.config import DataConfig, RunConfig
+    from gslora_tpu.data.splits import make_order_list, split_by_class_window
+    from gslora_tpu.data.synthetic import synthetic_face_dataset
+    from gslora_tpu.engine.loop import ForgetData, run_forget_training
+    from gslora_tpu.engine.pretrain import pretrain
+    from gslora_tpu.data.pipeline import BatchLoader
+
+    model = ViTConfig(image_size=16, patch_size=8, dim=32, depth=2, heads=2,
+                      dim_head=16, mlp_dim=64, num_class=6, dropout=0.0,
+                      emb_dropout=0.0, head_type="Softmax")
+    lora0 = LoraConfig(rank=0)
+    train = synthetic_face_dataset(num_classes=6, per_class=12,
+                                   image_size=16, seed=0, noise=1.2)
+    test = synthetic_face_dataset(num_classes=6, per_class=6, image_size=16,
+                                  seed=99, noise=1.2)
+    cfg = RunConfig(model=model, lora=lora0,
+                    optim=OptimConfig(opt="adamw", lr=1e-3, warmup_epochs=0,
+                                      epochs=6),
+                    forget=ForgetConfig(bnd=8.0, beta=0.5, alpha=0.0,
+                                        prototype=False, per_forget_cls=2),
+                    data=DataConfig(batch_size=12), num_epoch=6,
+                    ver_freq=10_000, compute_dtype="float32")
+    params = init_vit_params(jax.random.key(0), model, lora0)
+    state, _ = pretrain(cfg, params,
+                        lambda: BatchLoader(train, 12, seed=3, prefetch=0),
+                        epochs=8, compute_dtype=jnp.float32, lr=3e-3)
+    order = make_order_list(6, seed=1337)
+    remain_tr, forget_tr = split_by_class_window(train, order, 0, 4, 4, 6)
+    remain_te, forget_te = split_by_class_window(test, order, 0, 4, 4, 6)
+    res = run_forget_training(
+        cfg, state.params,
+        ForgetData(forget_tr, remain_tr, forget_te, remain_te))
+    assert res.forget_acc < res.forget_acc_before
+    assert res.norm_list == []  # no LoRA groups at rank 0
+
+
 def test_forget_dynamics_move_losses_the_right_way():
     """Forget CE should rise (bounded ascent), remain CE should fall."""
     state, step = _setup(prototype=False)

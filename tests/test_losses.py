@@ -146,6 +146,42 @@ def test_masked_reductions_ignore_pad_sentinel():
             float(prototype_loss(emb[:4], labels, protos, dist)), rtol=1e-6)
 
 
+def test_distill_losses_ignore_pad_sentinel():
+    """The teacher-student loss family must also mask label -1: on
+    padded tail batches (mask_padding=True under TPU/mesh) KD/DER/FDR/AT
+    terms equal their unpadded values."""
+    import numpy as np
+    from gslora_tpu.baselines.distill import der_loss, fdr_loss
+    from gslora_tpu.losses.distillation import (attention_transfer_loss,
+                                                kd_kl_loss, logit_l2_loss,
+                                                lwf_kd_loss)
+
+    rng = np.random.RandomState(1)
+    s = jnp.asarray(rng.randn(6, 5).astype(np.float32))
+    t = jnp.asarray(rng.randn(6, 5).astype(np.float32))
+    labels = jnp.asarray(np.array([0, 3, 2, 1], np.int32))
+    pad = jnp.concatenate([labels, jnp.full((2,), -1, jnp.int32)])
+
+    for fn in (lambda a, b, y: kd_kl_loss(a, b, 2.0, labels=y),
+               lambda a, b, y: lwf_kd_loss(a, b, 2.0, labels=y),
+               lambda a, b, y: der_loss(a, b, labels=y),
+               lambda a, b, y: fdr_loss(a, b, labels=y),
+               lambda a, b, y: logit_l2_loss(a, b, labels=y)):
+        np.testing.assert_allclose(
+            float(fn(s, t, pad)), float(fn(s[:4], t[:4], labels)), rtol=1e-5)
+        # labels=None keeps the original unmasked reduction
+        np.testing.assert_allclose(
+            float(fn(s, t, None)), float(fn(s, t, jnp.zeros(6, jnp.int32))),
+            rtol=1e-5)
+
+    tok_s = jnp.asarray(rng.randn(6, 9, 7).astype(np.float32))
+    tok_t = jnp.asarray(rng.randn(6, 9, 7).astype(np.float32))
+    np.testing.assert_allclose(
+        float(attention_transfer_loss(tok_s, tok_t, labels=pad)),
+        float(attention_transfer_loss(tok_s[:4], tok_t[:4], labels=labels)),
+        rtol=1e-5)
+
+
 def test_sface_masked_matches_unpadded():
     """sface_head on [valid; pad(-1)] equals sface_head on [valid]
     (loss and all summary stats; logits row content for pads is ignored)."""

@@ -381,6 +381,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["loss", "prox"])
     p.add_argument("--fused_batch", action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--attn_impl", default="auto", type=str,
+                   choices=["auto", "xla", "pallas", "dpa", "bnhd"])
     p.add_argument("--dp", action="store_true",
                    help="data-parallel over all devices (mesh)")
     p.add_argument("--ver_targets", default="", type=str,
@@ -424,6 +426,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
     imagenet = args.data_mode == "imagenet100"
     model = ViTConfig(
         remat=args.remat,
+        attn_impl=getattr(args, "attn_impl", "auto"),
         image_size=224 if imagenet else 112,
         patch_size=16 if imagenet else 8,
         dim=768 if args.net == "VIT_B16" else 512,

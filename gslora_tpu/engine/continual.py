@@ -94,6 +94,10 @@ def run_continual_forgetting(cfg: RunConfig, params, train_ds: Dataset,
     logger = logger or MetricLogger()
     model, lora, f = cfg.model, cfg.lora, cfg.forget
     cdt = _dtype(cfg)
+    # register before the eval step first traces so attn_impl="auto" can
+    # pick the per-shard pallas kernel on multi-device runs
+    from gslora_tpu.parallel.mesh import set_attention_mesh
+    set_attention_mesh(mesh)
     eval_step = make_eval_step(model, lora, compute_dtype=cdt)
     test_bs = cfg.data.batch_size * cfg.data.test_batch_scale
     out = ContinualResult()

@@ -79,6 +79,8 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
     seed = cfg.data.seed + seed_offset
 
     batch_sh = None
+    from gslora_tpu.parallel.mesh import set_attention_mesh
+    set_attention_mesh(mesh)  # pallas attention shards per-device under it
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
         from gslora_tpu.parallel.mesh import batch_sharding

@@ -171,11 +171,14 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
         # blocked Pallas kernel wins on real TPU (2267 vs 2153 img/s full
         # step, v5e); interpret-mode Pallas on CPU is test-only slow —
         # keep the XLA einsum there. Multi-device: the pallas_call custom
-        # op carries no GSPMD partitioning rule, so under a --dp mesh the
-        # partitioner would replicate/all-gather the attention operands —
-        # resolve to the einsums, which shard batch-wise for free.
+        # op carries no GSPMD partitioning rule, so it only runs when the
+        # loop registered a mesh (the kernel then runs per-shard under
+        # jax.shard_map); an unregistered multi-device context falls back
+        # to the einsums, which shard batch-wise for free.
+        from gslora_tpu.parallel.mesh import attention_mesh
         single = jax.device_count() == 1
-        impl = "pallas" if (jax.default_backend() != "cpu" and single) \
+        impl = "pallas" if (jax.default_backend() != "cpu" and
+                            (single or attention_mesh() is not None)) \
             else "xla"
     if impl == "dpa":
         # jax.nn.dot_product_attention ((B,N,H,D) layout): faster in
@@ -223,12 +226,10 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
     k = rearrange(k, "b n (h d) -> b h n d", d=hd)
     v = rearrange(v, "b n (h d) -> b h n d", d=hd)
     if impl == "pallas":
-        from gslora_tpu.ops.attention import fused_attention
-        b, hh, n, dh = q.shape
-        out = fused_attention(q.reshape(b * hh, n, dh),
-                              k.reshape(b * hh, n, dh),
-                              v.reshape(b * hh, n, dh), scale)
-        out = rearrange(out.reshape(b, hh, n, dh), "b h n d -> b n (h d)")
+        from gslora_tpu.ops.attention import fused_attention_bhnd
+        from gslora_tpu.parallel.mesh import attention_mesh
+        out = fused_attention_bhnd(q, k, v, scale, mesh=attention_mesh())
+        out = rearrange(out, "b h n d -> b n (h d)")
     else:
         dots = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
         attn = jax.nn.softmax(dots.astype(jnp.float32), axis=-1).astype(cdt)

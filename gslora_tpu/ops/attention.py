@@ -185,3 +185,31 @@ def _fa_bwd(res, g):
 
 
 fused_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+def fused_attention_bhnd(q, k, v, scale: float, mesh=None):
+    """(b, h, n, d) front-end for :func:`fused_attention`.
+
+    Single device (mesh=None): flatten (b, h) and call the kernel. With a
+    mesh whose ``data`` axis is >1: run the kernel PER SHARD under
+    jax.shard_map — the batch dim stays sharded exactly as the surrounding
+    einsums leave it (no replication, no collectives: attention is
+    embarrassingly parallel over the batch), which is what GSPMD cannot
+    infer for a Mosaic custom call on its own."""
+    b, h, n, d = q.shape
+
+    def local(ql, kl, vl):
+        bl = ql.shape[0]
+        o = fused_attention(ql.reshape(bl * h, n, d),
+                            kl.reshape(bl * h, n, d),
+                            vl.reshape(bl * h, n, d), scale)
+        return o.reshape(bl, h, n, d)
+
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        from jax.sharding import PartitionSpec as P
+        spec = P("data", None, None, None)
+        # check_vma=False: pallas_call's out_shape carries no varying-mesh
+        # annotation; the kernel is per-shard pure so the check adds nothing
+        return jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                             out_specs=spec, check_vma=False)(q, k, v)
+    return local(q, k, v)

@@ -21,6 +21,22 @@ from gslora_tpu.config import MeshConfig
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+# Trace-time hint for ops that need an explicit mesh (the blocked Pallas
+# attention kernel runs per-shard under jax.shard_map — a Mosaic custom
+# call carries no GSPMD partitioning rule, so without this the partitioner
+# would replicate its operands). Registered by placement()/the train loops
+# before the step is traced; None = single-device, no wrapping.
+_ATTENTION_MESH: Optional[Mesh] = None
+
+
+def set_attention_mesh(mesh: Optional[Mesh]) -> None:
+    global _ATTENTION_MESH
+    _ATTENTION_MESH = mesh
+
+
+def attention_mesh() -> Optional[Mesh]:
+    return _ATTENTION_MESH
+
 
 def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     cfg = cfg or MeshConfig()
@@ -79,6 +95,7 @@ def placement(mesh: Optional[Mesh]):
     """
     import jax.numpy as jnp
 
+    set_attention_mesh(mesh)  # pallas attention shards per-device under it
     if mesh is None:
         return (lambda t: t), \
             (lambda *a: tuple(jnp.asarray(x) for x in a))

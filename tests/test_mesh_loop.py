@@ -75,6 +75,59 @@ def test_dp_equivalence():
     assert abs(res_single.best_h - res_mesh.best_h) < 1e-3
 
 
+def test_distill_dp_equivalence_with_ragged_tails():
+    """Baseline family under a mesh: the mesh run pads tail batches
+    (mask_padding) while the single-device run keeps reference-faithful
+    ragged tails — the pad-sentinel masking in the DER/KD losses must make
+    both produce the same dynamics. Dataset sizes are chosen NON-divisible
+    by the batch so the padding path is actually exercised."""
+    from gslora_tpu.baselines.distill import run_distill_task
+    from gslora_tpu.config import BaselineConfig
+    from gslora_tpu.data.pipeline import BatchLoader, CyclingLoader
+    from gslora_tpu.data.splits import random_relabel
+
+    train = synthetic_face_dataset(num_classes=6, per_class=14,  # ragged
+                                   image_size=16, seed=0, noise=1.0)
+    test = synthetic_face_dataset(num_classes=6, per_class=8, image_size=16,
+                                  seed=9, noise=1.0)
+    order = make_order_list(6, seed=1337)
+    remain_tr, forget_tr = split_by_class_window(train, order, 0, 4, 4, 6)
+    remain_te, forget_te = split_by_class_window(test, order, 0, 4, 4, 6)
+    # 2 forget classes x 14 = 28 samples; bs 16 -> ragged 12-sample tail
+    relabeled = random_relabel(forget_tr, 6, seed=5)
+
+    cfg = RunConfig(model=MODEL, lora=LORA,
+                    optim=OptimConfig(opt="adamw", lr=1e-3, warmup_epochs=0,
+                                      epochs=2),
+                    forget=ForgetConfig(per_forget_cls=2),
+                    baseline=BaselineConfig(method="der", der_lambda=0.1),
+                    data=DataConfig(batch_size=16), num_epoch=2,
+                    ver_freq=10_000, compute_dtype="float32")
+    params = init_vit_params(jax.random.key(0), MODEL, LORA)
+
+    def run(mesh):
+        pad = mesh is not None
+        fl = BatchLoader(relabeled, 16, seed=7, mask_padding=pad)
+        rl = BatchLoader(remain_tr, 16, seed=8, mask_padding=pad)
+        tbf = lambda: BatchLoader(forget_te, 32, shuffle=False,  # noqa: E731
+                                  prefetch=0, mask_padding=pad)
+        tbr = lambda: BatchLoader(remain_te, 32, shuffle=False,  # noqa: E731
+                                  prefetch=0, mask_padding=pad)
+        return run_distill_task(cfg, params, params, lambda: iter(fl),
+                                CyclingLoader(rl), tbf, tbr, mesh=mesh)
+
+    single = run(None)
+    meshed = run(make_mesh())
+    for k in ("forget_acc_before", "forget_acc", "remain_acc", "best_h"):
+        assert abs(single[k] - meshed[k]) < 1e-3, (k, single[k], meshed[k])
+    # final params identical up to all-reduce reassociation — would fail if
+    # any loss term double-counted the wrap-padded tail samples
+    for a, b in zip(jax.tree_util.tree_leaves(single["params"]),
+                    jax.tree_util.tree_leaves(meshed["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_mesh_scaling_step_times():
     """Scaling-evidence artifact: the SAME global-batch jitted train step
     compiles and runs on 1/2/4/8-device data meshes; step times recorded

@@ -71,8 +71,16 @@ def main(argv=None):
         if len(jax.devices()) > 1:
             from gslora_tpu.parallel.mesh import make_mesh
             mesh = make_mesh(cfg.mesh)
-    res = run_forget_training(cfg, params, data, logger=logger,
-                              workdir=cfg.outdir, mesh=mesh)
+    if getattr(args, "profile_dir", ""):
+        # jax.profiler trace around the whole run (SURVEY §5.1; view with
+        # TensorBoard). Includes compile + every step.
+        from gslora_tpu.utils.profiling import trace
+        with trace(args.profile_dir):
+            res = run_forget_training(cfg, params, data, logger=logger,
+                                      workdir=cfg.outdir, mesh=mesh)
+    else:
+        res = run_forget_training(cfg, params, data, logger=logger,
+                                  workdir=cfg.outdir, mesh=mesh)
     # run name assembled from hyperparameters at exit
     # (train_own_forget.py:844-877)
     from gslora_tpu.metrics.logging import make_run_name

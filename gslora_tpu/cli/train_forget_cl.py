@@ -32,7 +32,7 @@ from gslora_tpu.data.pipeline import BatchLoader, CyclingLoader
 from gslora_tpu.data.splits import (few_shot_subset, make_order_list,
                                     open_task_windows, random_relabel,
                                     ratio_subset, split_by_class_window,
-                                    task_windows)
+                                    task_windows, unique_classes)
 from gslora_tpu.engine.continual import run_continual_forgetting
 from gslora_tpu.engine.evaluate import eval_accuracy, make_eval_step
 from gslora_tpu.engine.loop import _dtype
@@ -103,6 +103,8 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
         if method in ("l2", "ewc", "mas"):
             if task == 0:
                 anchors.append(params)
+                names, n_cls = unique_classes(remain_sub)
+                print("importance class", names, n_cls)  # cl_open.py:707
                 imp_batches = list(BatchLoader(remain_sub, bs, shuffle=False,
                                                prefetch=0,
                                                mask_padding=pad))

@@ -383,6 +383,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true")
     p.add_argument("--attn_impl", default="auto", type=str,
                    choices=["auto", "xla", "pallas", "dpa", "bnhd"])
+    p.add_argument("--profile_dir", default="", type=str,
+                   help="write a jax.profiler trace of the run here "
+                        "(TensorBoard-viewable)")
     p.add_argument("--dp", action="store_true",
                    help="data-parallel over all devices (mesh)")
     p.add_argument("--ver_targets", default="", type=str,

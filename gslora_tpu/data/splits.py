@@ -36,6 +36,17 @@ def split_by_class_window(dataset: Dataset, order_list: Sequence[int],
     return SubsetDataset(dataset, idx1), SubsetDataset(dataset, idx2)
 
 
+def unique_classes(dataset: Dataset) -> Tuple[List[str], int]:
+    """Class names present in a (sub)dataset + their count
+    (util/utils.py:444-454 get_unique_classes) — the reference logs which
+    classes feed EWC/MAS importance estimation."""
+    labels = sorted({t for t in dataset.targets})
+    classes = getattr(dataset, "classes", None)
+    names = [classes[l] for l in labels] if classes else \
+        [str(l) for l in labels]
+    return names, len(labels)
+
+
 def task_windows(num_of_first_cls: int, per_forget_cls: int, task: int
                  ) -> Tuple[int, int, int, int]:
     """CL window arithmetic (train_own_forget_cl.py:539-542): at task i the

@@ -205,7 +205,10 @@ def fused_attention_bhnd(q, k, v, scale: float, mesh=None):
                             vl.reshape(bl * h, n, d), scale)
         return o.reshape(bl, h, n, d)
 
-    if mesh is not None and mesh.shape.get("data", 1) > 1:
+    dsize = mesh.shape.get("data", 1) if mesh is not None else 1
+    if dsize > 1 and b % dsize == 0:
+        # non-divisible batches (e.g. a caller outside the padded train
+        # loop) skip the wrapper and keep single-device kernel semantics
         from jax.sharding import PartitionSpec as P
         spec = P("data", None, None, None)
         # check_vma=False: pallas_call's out_shape carries no varying-mesh

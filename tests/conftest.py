@@ -21,3 +21,14 @@ jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 assert jax.devices()[0].platform == "cpu"
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_attention_mesh():
+    """The attention-mesh registry is trace-time global state set by the
+    train loops; clear it between tests so runs stay order-independent."""
+    yield
+    from gslora_tpu.parallel.mesh import set_attention_mesh
+    set_attention_mesh(None)

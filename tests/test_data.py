@@ -28,6 +28,18 @@ def test_split_by_class_window_keeps_global_labels():
     remain, forget = split_by_class_window(ds, order, 0, 8, 8, 10)
     assert len(remain) == 8 * 4 and len(forget) == 2 * 4
     assert set(remain.targets) == set(order[:8])
+
+
+def test_unique_classes():
+    """get_unique_classes parity (util/utils.py:444-454): names + count of
+    the classes present in a subset."""
+    from gslora_tpu.data.splits import unique_classes
+    ds = synthetic_face_dataset(num_classes=10, per_class=4)
+    order = make_order_list(10, seed=1337)
+    remain, forget = split_by_class_window(ds, order, 0, 8, 8, 10)
+    names, n = unique_classes(forget)
+    assert n == 2
+    assert names == sorted(ds.classes[c] for c in order[8:10])
     assert set(forget.targets) == set(order[8:10])
     # labels are original global ids, not remapped
     assert max(remain.targets + forget.targets) <= 9

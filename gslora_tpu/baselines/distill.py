@@ -44,9 +44,14 @@ def der_loss(emb_s, emb_t, labels=None) -> jax.Array:
 
 
 def fdr_loss(logits_s, logits_t, labels=None) -> jax.Array:
-    """Mean row-wise L2 (FDRtrain.py:17-19) over valid rows."""
+    """Mean row-wise L2 (FDRtrain.py:17-19) over valid rows.
+
+    sqrt is clamped away from 0: the student starts as an exact copy of
+    the teacher, so with dropout=0 the first step has d == 0 rows and the
+    raw norm's gradient there is NaN (0/0); the clamp yields the correct
+    zero subgradient instead."""
     d = logits_s.astype(jnp.float32) - logits_t.astype(jnp.float32)
-    per_row = jnp.linalg.norm(d, axis=1)
+    per_row = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=1), 1e-24))
     if labels is None:
         return jnp.mean(per_row)
     w = (labels >= 0).astype(jnp.float32)

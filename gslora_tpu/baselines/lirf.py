@@ -187,6 +187,14 @@ def run_lirf_task(cfg: RunConfig, params, forget_loader_factory: Callable,
                                   test_batches_r(), cfg.model, cfg.lora, cdt)
         best_h = max(best_h, h_mean(facc_before, facc, racc, eps=1e-8))
 
+    if (num_epoch if num_epoch is not None else cfg.num_epoch) == 0:
+        # zero-epoch call: metrics must still be defined (sibling runners
+        # always evaluate after the loop)
+        facc = lirf_eval_accuracy(teacher, state.student_low,
+                                  test_batches_f(), cfg.model, cfg.lora, cdt)
+        racc = lirf_eval_accuracy(teacher, state.student_low,
+                                  test_batches_r(), cfg.model, cfg.lora, cdt)
+        best_h = max(best_h, h_mean(facc_before, facc, racc, eps=1e-8))
     return {"student_low": state.student_low,
             "deposit_low": state.deposit_low, "teacher": teacher,
             "forget_acc_before": facc_before, "forget_acc": facc,

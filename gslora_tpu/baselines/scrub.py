@@ -33,9 +33,12 @@ def param_dist(params, swa_params, p: float) -> jax.Array:
     (util/sgda_utils.py:36-41)."""
     if p == 0.0:
         return jnp.float32(0.0)
+    # clamped sqrt: params == swa at the start of a superepoch, and the raw
+    # norm's gradient at exactly 0 is NaN (0/0); clamping gives the correct
+    # zero subgradient
     norms = jax.tree.map(
-        lambda a, b: jnp.linalg.norm(
-            (a.astype(jnp.float32) - b.astype(jnp.float32)).reshape(-1)),
+        lambda a, b: jnp.sqrt(jnp.maximum(jnp.sum(
+            (a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2), 1e-24)),
         params, swa_params)
     return p * sum(jax.tree.leaves(norms))
 

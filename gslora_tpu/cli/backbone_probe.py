@@ -72,8 +72,8 @@ def main(argv=None):
         f.num_of_first_cls + f.per_forget_cls)
 
     # combined forget + remain training stream (backbone_forget_main.py)
-    from gslora_tpu.cli.train_forget_cl import _ConcatDataset
-    combined = _ConcatDataset(forget_tr, remain_tr)
+    from gslora_tpu.data.folders import ConcatDataset
+    combined = ConcatDataset(forget_tr, remain_tr)
     loader = BatchLoader(combined, cfg.data.batch_size, seed=cfg.data.seed)
 
     params = build_params(cfg)

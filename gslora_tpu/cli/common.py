@@ -98,3 +98,70 @@ def build_params(cfg: RunConfig, seed: Optional[int] = None):
         if all_zero:
             imported["lora"] = params["lora"]
     return imported
+
+
+def _imagenet_global_index(data_root: str):
+    """wnid -> ImageNet-1k index from <data_root>/imagenet_folder_names.txt
+    (the file the reference requires, train_own_forget_cl.py:148-155)."""
+    path = os.path.join(data_root, "imagenet_folder_names.txt")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        classes = [ln.strip() for ln in f if ln.strip()]
+    return {c: i for i, c in enumerate(classes)}
+
+
+def prepare_imagenet_head(cfg, params, train_ds):
+    """ImageNet-100 head surgery (reference modify_head flow,
+    train_own_forget_cl.py:180-296): when the resumed torchvision head is
+    1000-way, slice it down to the run's classes via the wnid->index map.
+    Returns (params, original_head-or-None); the original head feeds the
+    missing-class eval (resume_head)."""
+    head = params["base"].get("head", {})
+    w = head.get("weight")
+    C = cfg.model.num_class
+    if w is None or w.shape[0] == C:
+        return params, None
+    idx_of = _imagenet_global_index(cfg.data.data_root)
+    if idx_of is not None:
+        missing = [c for c in train_ds.classes if c not in idx_of]
+        if missing:
+            raise ValueError(
+                f"dataset classes not in the ImageNet-1k list: "
+                f"{missing[:5]} (train_own_forget_cl.py:183-186 assert)")
+        class_id_map = {i: idx_of[c] for i, c in enumerate(train_ds.classes)}
+    else:
+        import warnings
+        warnings.warn(
+            "imagenet_folder_names.txt not found under data_root — slicing "
+            f"the first {C} head rows (class identity NOT aligned with "
+            "ImageNet-1k indices)")
+        class_id_map = {i: i for i in range(C)}
+    from gslora_tpu.models.vit_imagenet import modify_head
+    out = modify_head(params, class_id_map)
+    original = out.pop("original_head")
+    print(f"sliced ImageNet head {w.shape[0]} -> {C} classes")
+    return out, original
+
+
+def build_missing_dataset(cfg, miss_root: str):
+    """Held-out-class val set with GLOBAL ImageNet-1k labels (reference
+    ImageNet900 construction, train_own_forget_cl.py:160-178)."""
+    idx_of = _imagenet_global_index(cfg.data.data_root)
+    if idx_of is None:
+        raise FileNotFoundError(
+            "imagenet_folder_names.txt required under data_root for the "
+            "missing-class eval")
+    entries = []
+    for cls in sorted(os.listdir(miss_root)):
+        cdir = os.path.join(miss_root, cls)
+        if not os.path.isdir(cdir):
+            continue
+        if cls not in idx_of:
+            raise ValueError(f"held-out class {cls!r} not in the global "
+                             "1000-class list (cl.py:170-171)")
+        for fn in sorted(os.listdir(cdir)):
+            if fn.lower().endswith((".jpg", ".jpeg", ".png")):
+                entries.append((os.path.join(cdir, fn), idx_of[cls]))
+    from gslora_tpu.data.folders import PathListDataset
+    return PathListDataset(entries, image_size=cfg.model.image_size)

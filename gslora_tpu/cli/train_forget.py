@@ -51,7 +51,7 @@ def main(argv=None):
         forget_sub = few_shot_subset(forget_tr, f.few_shot_num,
                                      cfg.data.seed)
         remain_sub = few_shot_subset(remain_tr, f.few_shot_num,
-                                     cfg.data.seed)
+                                     cfg.data.seed + 7919)  # uncorrelated
     else:
         forget_sub = ratio_subset(forget_tr, f.data_ratio, cfg.data.seed)
         remain_sub = ratio_subset(remain_tr, f.data_ratio, cfg.data.seed)

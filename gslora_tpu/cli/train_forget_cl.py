@@ -78,7 +78,7 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
             forget_sub = few_shot_subset(forget_tr, f.few_shot_num,
                                          cfg.data.seed + task)
             remain_sub = few_shot_subset(remain_tr, f.few_shot_num,
-                                         cfg.data.seed + task)
+                                         cfg.data.seed + task + 7919)
         else:
             forget_sub = ratio_subset(forget_tr, f.data_ratio,
                                       cfg.data.seed + task)
@@ -208,10 +208,39 @@ def main(argv=None):
     train_ds, test_ds = build_datasets(cfg)
     order = make_order_list(cfg.model.num_class, seed=cfg.data.seed)
     params = build_params(cfg)
+    # ImageNet-100: slice a resumed 1000-way torchvision head down to the
+    # run's classes; keep the original for the missing-class eval
+    # (reference modify_head/resume_head flow, cl.py:180-312)
+    original_head = None
+    miss_ds = None
+    if cfg.data.data_mode == "imagenet100":
+        from gslora_tpu.cli.common import (build_missing_dataset,
+                                           prepare_imagenet_head)
+        params, original_head = prepare_imagenet_head(cfg, params, train_ds)
+        miss_root = getattr(args, "imagenet_miss_root", "")
+        if miss_root and original_head is not None:
+            miss_ds = build_missing_dataset(cfg, miss_root)
     from gslora_tpu.utils.params import param_summary
     print("params:", json.dumps(param_summary(params)))
     logger = MetricLogger(use_wandb=cfg.log_wandb, outdir=cfg.outdir,
                           config=json.loads(cfg.to_json()))
+
+    def missing_acc(tag, p):
+        """Held-out-class accuracy with the restored 1000-way head
+        (cl.py:294-312, :1738-1763)."""
+        if miss_ds is None:
+            return None
+        from gslora_tpu.models.vit_imagenet import resume_head
+        ev = make_eval_step(cfg.model, cfg.lora, compute_dtype=_dtype(cfg))
+        acc = eval_accuracy(
+            ev, resume_head(p, original_head),
+            BatchLoader(miss_ds, cfg.data.batch_size, shuffle=False,
+                        prefetch=0))
+        print(f"missing-class acc {tag}: {acc:.2f}%")
+        logger.log({f"imagenet-val-miss_{tag}": acc})
+        return acc
+
+    missing_acc("before", params)
 
     # data-parallel mesh is opt-in (--dp): batch sizes must divide the
     # data-axis size (use --batch_size accordingly / pad_to_batch)
@@ -230,10 +259,12 @@ def main(argv=None):
             "best_H_mean": t.result.best_h, "norm_list": t.result.norm_list,
             "time_to_forget_s": round(t.result.wallclock_s, 2),
         } for t in out.tasks]
+        final_params = out.final_params or params
     else:
-        report, _ = run_baseline_continual(cfg, params, train_ds, test_ds,
-                                           order, logger, cfg.outdir,
-                                           mesh=mesh)
+        report, final_params = run_baseline_continual(
+            cfg, params, train_ds, test_ds, order, logger, cfg.outdir,
+            mesh=mesh)
+    missing_acc("after", final_params)
 
     print(json.dumps(report, indent=2))
     if cfg.outdir:

@@ -57,6 +57,19 @@ class ViTConfig:
     # memory — enables large-batch pretraining within one chip's HBM
     remat: bool = False
 
+    @classmethod
+    def vit_b16(cls, num_class: int = 100, **overrides) -> "ViTConfig":
+        """torchvision vit_b_16 parity configuration (modified_VIT.py:5-39):
+        conv patchify (kernel=stride=16, pad=0 — expressed as soft_split,
+        which yields the conv's channel-major feature layout), qkv bias ON,
+        standard head-dim attention scale, no dropout, plain Linear head."""
+        return cls(
+            image_size=224, patch_size=16, dim=768, depth=12, heads=12,
+            dim_head=64, mlp_dim=3072, num_class=num_class,
+            head_type="Softmax", dropout=0.0, emb_dropout=0.0,
+            soft_split=True, ac_patch_size=16, pad=0,
+            qkv_bias=True, attn_scale="dim_head", **overrides)
+
     @property
     def num_patches(self) -> int:
         if self.soft_split:
@@ -386,6 +399,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", default="", type=str,
                    help="write a jax.profiler trace of the run here "
                         "(TensorBoard-viewable)")
+    p.add_argument("--imagenet_miss_root", default="", type=str,
+                   help="folder of held-out ImageNet class dirs for the "
+                        "missing-class eval (reference "
+                        "data/imagenet_val_split/nonexist)")
     p.add_argument("--dp", action="store_true",
                    help="data-parallel over all devices (mesh)")
     p.add_argument("--ver_targets", default="", type=str,
@@ -427,20 +444,27 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         method = "der_plus"
 
     imagenet = args.data_mode == "imagenet100"
-    model = ViTConfig(
-        remat=args.remat,
-        attn_impl=getattr(args, "attn_impl", "auto"),
-        image_size=224 if imagenet else 112,
-        patch_size=16 if imagenet else 8,
-        dim=768 if args.net == "VIT_B16" else 512,
-        depth=12 if args.net == "VIT_B16" else args.vit_depth,
-        heads=12 if args.net == "VIT_B16" else 8,
-        dim_head=64,
-        mlp_dim=3072 if args.net == "VIT_B16" else 2048,
-        num_class=100,
-        head_type=args.head,
-        soft_split=(args.net == "VITs"),
-    )
+    if args.net == "VIT_B16":
+        # full torchvision parity (qkv bias, head-dim scale, conv patchify,
+        # no dropout) — the importer's weight layout depends on these
+        model = ViTConfig.vit_b16(
+            num_class=100, remat=args.remat,
+            attn_impl=getattr(args, "attn_impl", "auto"))
+    else:
+        model = ViTConfig(
+            remat=args.remat,
+            attn_impl=getattr(args, "attn_impl", "auto"),
+            image_size=224 if imagenet else 112,
+            patch_size=16 if imagenet else 8,
+            dim=512,
+            depth=args.vit_depth,
+            heads=8,
+            dim_head=64,
+            mlp_dim=2048,
+            num_class=100,
+            head_type=args.head,
+            soft_split=(args.net == "VITs"),
+        )
     cfg = RunConfig(
         net=args.net,
         model=model,

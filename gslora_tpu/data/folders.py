@@ -87,6 +87,13 @@ class ImageFolderDataset(Dataset):
         if self.imagenet_eval:
             img = _resize_short(img, 256)
             img = _center_crop(img, 224)
+        elif self.image_size and img.size != (self.image_size,
+                                              self.image_size):
+            # face path: the reference assumes pre-sized 112x112 folders
+            # (no Resize transform); off-size images would otherwise crash
+            # np.stack mid-epoch. Pre-sized images pass through untouched,
+            # keeping bit-parity with the native decoder.
+            img = img.resize((self.image_size, self.image_size))
         arr = np.asarray(img, dtype=np.float32) / 255.0  # ToTensor
         arr = arr.transpose(2, 0, 1)  # HWC -> CHW
         if self.imagenet_eval:

@@ -82,9 +82,14 @@ def open_task_windows(num_of_first_cls: int, per_forget_cls: int,
 def few_shot_subset(dataset: Dataset, n_shot: int, seed: int | None = None
                     ) -> SubsetDataset:
     """n_shot samples per class via the reference's python-random protocol
-    (util/utils.py:457-496: random.sample per class, then shuffle)."""
-    if seed is not None:
-        pyrandom.seed(seed)
+    (util/utils.py:457-496: random.sample per class, then shuffle).
+
+    A private Random(seed) instance produces the same stream as
+    random.seed(seed) without clobbering the global module state; callers
+    drawing multiple subsets should pass DIFFERENT seeds so the draws are
+    uncorrelated (the reference seeds once at startup and consumes one
+    ambient stream across calls)."""
+    rng = pyrandom.Random(seed) if seed is not None else pyrandom
     by_class = defaultdict(list)
     for i, t in enumerate(dataset.targets):
         by_class[t].append(i)
@@ -92,8 +97,8 @@ def few_shot_subset(dataset: Dataset, n_shot: int, seed: int | None = None
     for cls, idxs in by_class.items():
         if len(idxs) < n_shot:
             raise ValueError(f"Class {cls} has fewer samples than {n_shot}.")
-        chosen.extend(pyrandom.sample(idxs, n_shot))
-    pyrandom.shuffle(chosen)
+        chosen.extend(rng.sample(idxs, n_shot))
+    rng.shuffle(chosen)
     return SubsetDataset(dataset, chosen)
 
 

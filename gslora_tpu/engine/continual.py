@@ -67,8 +67,11 @@ def split_task_data(cfg: RunConfig, train_ds: Dataset, test_ds: Dataset,
     remain_test, forget_test = split_by_class_window(test_ds, order_list,
                                                      s1, e1, s2, e2)
     if f.few_shot:
+        # distinct seeds: the forget and remain draws must be uncorrelated
+        # (the reference consumes one ambient RNG stream across both calls)
         forget_sub = few_shot_subset(forget_train, f.few_shot_num, seed)
-        remain_sub = few_shot_subset(remain_train, f.few_shot_num, seed)
+        remain_sub = few_shot_subset(remain_train, f.few_shot_num,
+                                     seed + 7919)
     else:
         forget_sub = ratio_subset(forget_train, f.data_ratio, seed)
         remain_sub = ratio_subset(remain_train, f.data_ratio, seed)

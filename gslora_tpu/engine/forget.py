@@ -63,6 +63,12 @@ def make_forget_step(model: ViTConfig, lora: LoraConfig, fcfg: ForgetConfig,
     """
     use_proto = fcfg.prototype if use_prototype is None else use_prototype
     use_prox = structure_mode == "prox"
+    if use_prox and lora.rank > 0 and lora.pos != "FFN":
+        # lora_group_prox only handles the FFN placement; silently training
+        # with NO structure pressure would corrupt experiments
+        raise ValueError(
+            "structure_mode='prox' supports lora_pos='FFN' only; use the "
+            "reference-faithful structure_mode='loss' for Attention LoRA")
     train_base = trainable == "base"
 
     def loss_fn(train_tree, other, xf, yf, xr, yr, protos, sc, rng):

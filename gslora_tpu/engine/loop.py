@@ -79,13 +79,12 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
     seed = cfg.data.seed + seed_offset
 
     batch_sh = None
-    from gslora_tpu.parallel.mesh import set_attention_mesh
+    from gslora_tpu.parallel.mesh import placement, set_attention_mesh
     set_attention_mesh(mesh)  # pallas attention shards per-device under it
+    put_params, _ = placement(mesh)
+    params = put_params(params)  # replicate; head over `model` axis if >1
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
         from gslora_tpu.parallel.mesh import batch_sharding
-        repl = NamedSharding(mesh, PartitionSpec())
-        params = jax.device_put(params, repl)
         batch_sh = batch_sharding(mesh)
 
     # Static batch shapes on TPU / under a mesh: every ragged tail shape

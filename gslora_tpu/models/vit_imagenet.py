@@ -26,12 +26,7 @@ from gslora_tpu.lora.core import init_lora
 
 
 def vit_b16_config(num_class: int = 100) -> ViTConfig:
-    return ViTConfig(
-        image_size=224, patch_size=16, dim=768, depth=12, heads=12,
-        dim_head=64, mlp_dim=3072, num_class=num_class, head_type="Softmax",
-        dropout=0.0, emb_dropout=0.0,
-        soft_split=True, ac_patch_size=16, pad=0,
-        qkv_bias=True, attn_scale="dim_head")
+    return ViTConfig.vit_b16(num_class=num_class)
 
 
 def from_torchvision_state_dict(sd: Dict[str, np.ndarray], model: ViTConfig,

@@ -116,12 +116,17 @@ def test_image_folder(tmp_path):
                 (np.random.RandomState(i).rand(16, 16, 3) * 255)
                 .astype(np.uint8)).save(d / f"{i}.png")
     from gslora_tpu.data.folders import ImageFolderDataset
-    ds = ImageFolderDataset(str(tmp_path))
+    ds = ImageFolderDataset(str(tmp_path), image_size=16)
     assert ds.classes == ["a_cls", "b_cls"]  # sorted like ImageFolder
     assert len(ds) == 4
     img = ds.decode(0)
     assert img.shape == (3, 16, 16)
     assert img.max() <= 1.0  # ToTensor scaling
+    # off-size images resize to image_size instead of crashing np.stack
+    # mid-epoch (pre-sized ones pass through untouched, as above)
+    ds112 = ImageFolderDataset(str(tmp_path))  # default image_size=112
+    assert ds112.decode(0).shape == (3, 112, 112)
+    assert ds112.decode_batch([0, 1]).shape == (2, 3, 112, 112)
 
 
 def test_batch_loader_pad_and_drop():

@@ -1,0 +1,137 @@
+"""Flagship-scale BASELINE integration on real TPU: one forgetting task of
+EWC (regularization family) and SCRUB (teacher-student family) on the
+synthetic CASIA-100 stand-in at the reference model scale (ViT-P8S8 19.2M
+params, bf16, bs 48). Complements integration_continual.py (GS-LoRA++):
+certifies the baseline zoo's TPU path — padded static-shape loaders,
+importance estimation, max/min KD — at scale, not just on the CPU test
+shapes.
+
+Reuses the cached pretrain checkpoint (PRETRAIN_CKPT, shared with
+integration_continual.py). Writes /tmp/integration_baselines.json.
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_default_prng_impl", "rbg")
+
+from gslora_tpu.baselines.regularization import (estimate_importance,
+                                                 run_regularization_task)
+from gslora_tpu.baselines.scrub import run_scrub_task
+from gslora_tpu.checkpoints.io import load_pytree, save_pytree
+from gslora_tpu.config import (BaselineConfig, DataConfig, ForgetConfig,
+                               LoraConfig, OptimConfig, RunConfig, ViTConfig)
+from gslora_tpu.data.pipeline import BatchLoader
+from gslora_tpu.data.splits import (make_order_list, random_relabel,
+                                    ratio_subset, split_by_class_window)
+from gslora_tpu.data.synthetic import synthetic_face_dataset
+from gslora_tpu.engine.pretrain import pretrain
+from gslora_tpu.models.vit import init_vit_params
+
+MODEL = ViTConfig(image_size=112, patch_size=8, dim=512, depth=6, heads=8,
+                  dim_head=64, mlp_dim=2048, num_class=100, dropout=0.1,
+                  emb_dropout=0.1, head_type="CosFace")
+LORA = LoraConfig(rank=8)
+CKPT = os.environ.get("PRETRAIN_CKPT", "/tmp/flagship_pretrained.msgpack")
+BS = 48
+
+
+def main():
+    t0 = time.time()
+    train = synthetic_face_dataset(num_classes=100, per_class=24,
+                                   image_size=112, seed=0, noise=1.0)
+    test = synthetic_face_dataset(num_classes=100, per_class=5,
+                                  image_size=112, seed=77, noise=1.0)
+    params = init_vit_params(jax.random.key(0), MODEL, LORA,
+                             param_dtype=jnp.float32)
+    if os.path.exists(CKPT):
+        params = load_pytree(CKPT, params)
+        print("loaded pretrained", CKPT, flush=True)
+    else:
+        pre_cfg = RunConfig(
+            model=dataclasses.replace(MODEL, remat=True), lora=LORA,
+            optim=OptimConfig(lr=3e-4, warmup_epochs=2, epochs=25),
+            data=DataConfig(batch_size=240))
+        state, _ = pretrain(pre_cfg, params,
+                            lambda: BatchLoader(train, 240, seed=3),
+                            epochs=25, compute_dtype=jnp.bfloat16)
+        params = state.params
+        save_pytree(CKPT, params)
+        print("pretrained + saved", round(time.time() - t0, 1), "s",
+              flush=True)
+
+    order = make_order_list(100, seed=1337)
+    remain_tr, forget_tr = split_by_class_window(train, order, 0, 80, 80, 100)
+    remain_te, forget_te = split_by_class_window(test, order, 0, 80, 80, 100)
+    forget_sub = ratio_subset(forget_tr, 0.4, 1337)
+    remain_sub = ratio_subset(remain_tr, 0.4, 1337)
+    relabeled = random_relabel(forget_sub, 100, seed=1337)
+
+    tbf = lambda: BatchLoader(forget_te, 240, shuffle=False, prefetch=0,  # noqa: E731
+                              mask_padding=True)
+    tbr = lambda: BatchLoader(remain_te, 240, shuffle=False, prefetch=0,  # noqa: E731
+                              mask_padding=True)
+
+    report = {}
+
+    # --- EWC (reference: train_one_epoch_regularzation + grad^2 importance)
+    t1 = time.time()
+    cfg = RunConfig(
+        model=MODEL, lora=LORA,
+        optim=OptimConfig(opt="adamw", lr=1e-4, warmup_epochs=0, epochs=6),
+        forget=ForgetConfig(num_of_first_cls=80, per_forget_cls=20),
+        baseline=BaselineConfig(method="ewc", ewc_lambda=10.0),
+        data=DataConfig(batch_size=BS), num_epoch=6, ver_freq=10_000,
+        compute_dtype="bfloat16")
+    imp_batches = list(BatchLoader(remain_sub, BS, shuffle=False, prefetch=0,
+                                   mask_padding=True))
+    imp = estimate_importance("ewc", params, imp_batches, MODEL, LORA,
+                              jnp.bfloat16)
+    fl = BatchLoader(relabeled, BS, seed=1, mask_padding=True)
+    # lambda 10 = the reference's active EWC open-set recipe
+    # (run_forget_open.sh EWC template)
+    out = run_regularization_task(cfg, params, lambda: iter(fl), tbf, tbr,
+                                  lam=10.0, anchors=[params],
+                                  importances=[imp])
+    report["ewc"] = {k: out[k] for k in
+                     ("forget_acc_before", "forget_acc", "remain_acc",
+                      "best_h")}
+    report["ewc"]["wallclock_s"] = round(time.time() - t1, 1)
+    print("EWC:", json.dumps(report["ewc"]), flush=True)
+
+    # --- SCRUB (max/min KD, SWA, sgda optimizer; true labels on forget)
+    t2 = time.time()
+    cfg = RunConfig(
+        model=MODEL, lora=LORA,
+        optim=OptimConfig(opt="adamw", lr=1e-4, warmup_epochs=0, epochs=10),
+        forget=ForgetConfig(num_of_first_cls=80, per_forget_cls=20),
+        baseline=BaselineConfig(method="scrub", scrub_superepoch=2,
+                                sgda_learning_rate=5e-4, sgda_gamma=0.99,
+                                sgda_alpha=0.001),
+        data=DataConfig(batch_size=BS), num_epoch=10, ver_freq=10_000,
+        compute_dtype="bfloat16")
+    fl_true = BatchLoader(forget_sub, BS, seed=2, mask_padding=True)
+    rl = BatchLoader(remain_sub, BS, seed=3, mask_padding=True)
+    out = run_scrub_task(cfg, params, lambda: iter(fl_true),
+                         lambda: iter(rl), tbf, tbr)
+    report["scrub"] = {k: out[k] for k in
+                       ("forget_acc_before", "forget_acc", "remain_acc",
+                        "best_h")}
+    report["scrub"]["wallclock_s"] = round(time.time() - t2, 1)
+    print("SCRUB:", json.dumps(report["scrub"]), flush=True)
+
+    report["total_wallclock_s"] = round(time.time() - t0, 1)
+    print(json.dumps(report, indent=2), flush=True)
+    with open("/tmp/integration_baselines.json", "w") as f:
+        json.dump(report, f)
+
+
+if __name__ == "__main__":
+    main()

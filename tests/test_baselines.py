@@ -99,6 +99,36 @@ def test_ewc_task_forgets_via_relabeling(setup):
     assert np.isfinite(out["best_h"])
 
 
+def test_ewc_penalty_protects_remain(setup):
+    """The EWC mechanism certificate: with a strong penalty, remain
+    accuracy survives relabeled-forget training far better than with
+    lambda=0 (requires an UNSATURATED model — Softmax head + overlapping
+    blobs — so the grad^2 importance is non-trivial; on saturated CosFace
+    synthetic data the importance is ~0 and nothing can protect remain,
+    see BASELINE.md)."""
+    params, forget_tr, remain_tr, forget_te, remain_te = setup
+    imps = [estimate_importance(
+        "ewc", params, list(BatchLoader(remain_tr, 16, shuffle=False,
+                                        prefetch=0)), MODEL, LORA,
+        jnp.float32)]
+    total = sum(float(jnp.sum(leaf)) for leaf in jax.tree.leaves(imps[0]))
+    assert total > 0  # non-trivial importance on unsaturated model
+
+    def run(lam):
+        # lr high enough that unregularized relabel training wrecks the
+        # whole model within the epoch budget
+        fl, _, tbf, tbr = _loaders(forget_tr, remain_tr, forget_te,
+                                   remain_te)
+        out = run_regularization_task(
+            _cfg("ewc", epochs=8, lr=3e-2), params, lambda: iter(fl),
+            tbf, tbr, lam=lam, anchors=[params], importances=imps)
+        return out["remain_acc"]
+
+    unprotected = run(0.0)
+    protected = run(3e4)
+    assert protected > unprotected + 10.0, (protected, unprotected)
+
+
 def test_retrain_on_remain_only(setup):
     params, forget_tr, remain_tr, forget_te, remain_te = setup
     _, rl, tbf, tbr = _loaders(forget_tr, remain_tr, forget_te, remain_te)

@@ -75,6 +75,27 @@ def test_dp_equivalence():
     assert abs(res_single.best_h - res_mesh.best_h) < 1e-3
 
 
+def test_loop_data_model_mesh_equivalence():
+    """run_forget_training on a 4x2 data x model mesh (head weight sharded
+    over `model` via placement()) matches single-device dynamics — the
+    loop-level analogue of test_model_parallel_head_equivalence."""
+    from gslora_tpu.config import MeshConfig
+
+    data = _data()
+    cfg = _cfg()
+    params0 = init_vit_params(jax.random.key(0), MODEL, LORA)
+    res_single = run_forget_training(cfg, params0, data, mesh=None)
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    params1 = init_vit_params(jax.random.key(0), MODEL, LORA)
+    res_mesh = run_forget_training(cfg, params1, data, mesh=mesh)
+    for a, b in zip(jax.tree_util.tree_leaves(res_single.state.lora),
+                    jax.tree_util.tree_leaves(res_mesh.state.lora)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    assert abs(res_single.best_h - res_mesh.best_h) < 1e-3
+
+
 def test_distill_dp_equivalence_with_ragged_tails():
     """Baseline family under a mesh: the mesh run pads tail batches
     (mask_padding) while the single-device run keeps reference-faithful

@@ -127,13 +127,16 @@ def lirf_eval_accuracy(teacher, student_low, batches, model: ViTConfig,
                           cdt=compute_dtype)
         logits, _ = _up_logits(teacher, mid, y, model, lora, compute_dtype)
         pred = jnp.argmax(logits, axis=-1)
-        return jnp.sum((pred == y).astype(jnp.int32)), y.shape[0]
+        return jnp.sum((pred == y).astype(jnp.int32))
 
+    import numpy as np
     correct = total = 0
     for x, y in batches:
-        c, n = ev(student_low, teacher, jnp.asarray(x), jnp.asarray(y))
+        c = ev(student_low, teacher, jnp.asarray(x), jnp.asarray(y))
         correct += int(c)
-        total += int(n)
+        # valid rows only: label -1 is the pad sentinel (mask_padding
+        # loaders on TPU/mesh); it never equals an argmax
+        total += int((np.asarray(y) >= 0).sum())
     return 100.0 * correct / max(total, 1)
 
 
@@ -153,6 +156,13 @@ def run_lirf_task(cfg: RunConfig, params, forget_loader_factory: Callable,
     params = put_params(params)
     b = cfg.baseline
     teacher = params["base"]
+    if params.get("lora"):
+        # LIRF operates on a plain backbone (the reference's baselines run
+        # lora_rank 0); when handed a LoRA-carrying model, the deployable
+        # teacher is the MERGED model — dropping the adapters would start
+        # from a silently degraded teacher
+        from gslora_tpu.engine.ema import merged_params
+        teacher = merged_params(teacher, params["lora"], cfg.lora.scaling)
     student_low = jax.tree.map(lambda x: x, teacher)
     deposit_low = jax.tree.map(lambda x: x, teacher)
     opt = make_optimizer(cfg.optim)

@@ -173,7 +173,9 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
             base["blocks"] = merged_blocks
             for k in ("patch", "cls_token", "pos_embed"):
                 base[k] = out["student_low"][k]
-            params = {"base": base, "lora": params.get("lora", {})}
+            # any LoRA was folded into the teacher at task entry — carrying
+            # the old adapters forward would double-apply them at eval
+            params = {"base": base, "lora": {}}
         else:
             raise ValueError(f"unknown method {method}")
 

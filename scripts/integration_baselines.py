@@ -9,6 +9,7 @@ shapes.
 Reuses the cached pretrain checkpoint (PRETRAIN_CKPT, shared with
 integration_continual.py). Writes /tmp/integration_baselines.json.
 """
+import argparse
 import dataclasses
 import json
 import os
@@ -44,6 +45,10 @@ BS = 48
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--methods", default="ewc,scrub",
+                    help="comma list of ewc,scrub,lwf,lirf")
+    methods = set(ap.parse_args().methods.split(","))
     t0 = time.time()
     train = synthetic_face_dataset(num_classes=100, per_class=24,
                                    image_size=112, seed=0, noise=1.0)
@@ -81,56 +86,120 @@ def main():
 
     report = {}
 
-    # --- EWC (reference: train_one_epoch_regularzation + grad^2 importance)
-    t1 = time.time()
-    cfg = RunConfig(
-        model=MODEL, lora=LORA,
-        optim=OptimConfig(opt="adamw", lr=1e-4, warmup_epochs=0, epochs=6),
-        forget=ForgetConfig(num_of_first_cls=80, per_forget_cls=20),
-        baseline=BaselineConfig(method="ewc", ewc_lambda=10.0),
-        data=DataConfig(batch_size=BS), num_epoch=6, ver_freq=10_000,
-        compute_dtype="bfloat16")
-    imp_batches = list(BatchLoader(remain_sub, BS, shuffle=False, prefetch=0,
-                                   mask_padding=True))
-    imp = estimate_importance("ewc", params, imp_batches, MODEL, LORA,
-                              jnp.bfloat16)
-    fl = BatchLoader(relabeled, BS, seed=1, mask_padding=True)
-    # lambda 10 = the reference's active EWC open-set recipe
-    # (run_forget_open.sh EWC template)
-    out = run_regularization_task(cfg, params, lambda: iter(fl), tbf, tbr,
-                                  lam=10.0, anchors=[params],
-                                  importances=[imp])
-    report["ewc"] = {k: out[k] for k in
-                     ("forget_acc_before", "forget_acc", "remain_acc",
-                      "best_h")}
-    report["ewc"]["wallclock_s"] = round(time.time() - t1, 1)
-    print("EWC:", json.dumps(report["ewc"]), flush=True)
+    if "lwf" in methods:
+        # --- LwF (intended KD; teacher frozen at task start)
+        t1 = time.time()
+        from gslora_tpu.baselines.distill import run_distill_task
+        from gslora_tpu.data.pipeline import CyclingLoader
+        cfg = RunConfig(
+            model=MODEL, lora=LORA,
+            optim=OptimConfig(opt="adamw", lr=1e-4, warmup_epochs=0,
+                              epochs=6),
+            forget=ForgetConfig(num_of_first_cls=80, per_forget_cls=20),
+            baseline=BaselineConfig(method="lwf", lwf_lambda_kd=0.5,
+                                    lwf_lambda_remain=1.0),
+            data=DataConfig(batch_size=BS), num_epoch=6, ver_freq=10_000,
+            compute_dtype="bfloat16")
+        fl = BatchLoader(relabeled, BS, seed=4, mask_padding=True)
+        rl = BatchLoader(remain_sub, BS, seed=5, mask_padding=True)
+        out = run_distill_task(cfg, params, params, lambda: iter(fl),
+                               CyclingLoader(rl), tbf, tbr)
+        report["lwf"] = {k: out[k] for k in
+                        ("forget_acc_before", "forget_acc", "remain_acc",
+                         "best_h")}
+        report["lwf"]["wallclock_s"] = round(time.time() - t1, 1)
+        print("LwF:", json.dumps(report["lwf"]), flush=True)
 
-    # --- SCRUB (max/min KD, SWA, sgda optimizer; true labels on forget)
-    t2 = time.time()
-    cfg = RunConfig(
-        model=MODEL, lora=LORA,
-        optim=OptimConfig(opt="adamw", lr=1e-4, warmup_epochs=0, epochs=10),
-        forget=ForgetConfig(num_of_first_cls=80, per_forget_cls=20),
-        baseline=BaselineConfig(method="scrub", scrub_superepoch=2,
-                                sgda_learning_rate=5e-4, sgda_gamma=0.99,
-                                sgda_alpha=0.001),
-        data=DataConfig(batch_size=BS), num_epoch=10, ver_freq=10_000,
-        compute_dtype="bfloat16")
-    fl_true = BatchLoader(forget_sub, BS, seed=2, mask_padding=True)
-    rl = BatchLoader(remain_sub, BS, seed=3, mask_padding=True)
-    out = run_scrub_task(cfg, params, lambda: iter(fl_true),
-                         lambda: iter(rl), tbf, tbr)
-    report["scrub"] = {k: out[k] for k in
-                       ("forget_acc_before", "forget_acc", "remain_acc",
-                        "best_h")}
-    report["scrub"]["wallclock_s"] = round(time.time() - t2, 1)
-    print("SCRUB:", json.dumps(report["scrub"]), flush=True)
+    if "lirf" in methods:
+        # --- LIRF (low/up split, AT + class-slice KD, deposit model)
+        t1 = time.time()
+        from gslora_tpu.baselines.lirf import run_lirf_task
+        from gslora_tpu.data.pipeline import CyclingLoader
+        cfg = RunConfig(
+            model=MODEL, lora=LORA,
+            optim=OptimConfig(opt="adamw", lr=1e-4, warmup_epochs=0,
+                              epochs=6),
+            forget=ForgetConfig(num_of_first_cls=80, per_forget_cls=20),
+            baseline=BaselineConfig(method="lirf"),
+            data=DataConfig(batch_size=BS), num_epoch=6, ver_freq=10_000,
+            compute_dtype="bfloat16")
+        fl = BatchLoader(relabeled, BS, seed=6, mask_padding=True)
+        rl = BatchLoader(remain_sub, BS, seed=7, mask_padding=True)
+        out = run_lirf_task(cfg, params, lambda: iter(fl),
+                            CyclingLoader(rl), tbf, tbr)
+        report["lirf"] = {k: out[k] for k in
+                         ("forget_acc_before", "forget_acc", "remain_acc",
+                          "best_h")}
+        report["lirf"]["wallclock_s"] = round(time.time() - t1, 1)
+        print("LIRF:", json.dumps(report["lirf"]), flush=True)
 
+    if "ewc" in methods:
+        # --- EWC (train_one_epoch_regularzation + grad^2 importance)
+        t1 = time.time()
+        cfg = RunConfig(
+            model=MODEL, lora=LORA,
+            optim=OptimConfig(opt="adamw", lr=1e-4, warmup_epochs=0,
+                              epochs=6),
+            forget=ForgetConfig(num_of_first_cls=80, per_forget_cls=20),
+            baseline=BaselineConfig(method="ewc", ewc_lambda=10.0),
+            data=DataConfig(batch_size=BS), num_epoch=6, ver_freq=10_000,
+            compute_dtype="bfloat16")
+        imp_batches = list(BatchLoader(remain_sub, BS, shuffle=False,
+                                       prefetch=0, mask_padding=True))
+        imp = estimate_importance("ewc", params, imp_batches, MODEL, LORA,
+                                  jnp.bfloat16)
+        fl = BatchLoader(relabeled, BS, seed=1, mask_padding=True)
+        # lambda 10 = the reference's active EWC open-set recipe
+        # (run_forget_open.sh EWC template)
+        out = run_regularization_task(cfg, params, lambda: iter(fl), tbf,
+                                      tbr, lam=10.0, anchors=[params],
+                                      importances=[imp])
+        report["ewc"] = {k: out[k] for k in
+                         ("forget_acc_before", "forget_acc", "remain_acc",
+                          "best_h")}
+        report["ewc"]["wallclock_s"] = round(time.time() - t1, 1)
+        print("EWC:", json.dumps(report["ewc"]), flush=True)
+
+    if "scrub" in methods:
+        # --- SCRUB (max/min KD, SWA, sgda optimizer; true forget labels)
+        t2 = time.time()
+        cfg = RunConfig(
+            model=MODEL, lora=LORA,
+            optim=OptimConfig(opt="adamw", lr=1e-4, warmup_epochs=0,
+                              epochs=10),
+            forget=ForgetConfig(num_of_first_cls=80, per_forget_cls=20),
+            baseline=BaselineConfig(method="scrub", scrub_superepoch=2,
+                                    sgda_learning_rate=5e-4,
+                                    sgda_gamma=0.99, sgda_alpha=0.001),
+            data=DataConfig(batch_size=BS), num_epoch=10, ver_freq=10_000,
+            compute_dtype="bfloat16")
+        fl_true = BatchLoader(forget_sub, BS, seed=2, mask_padding=True)
+        rl = BatchLoader(remain_sub, BS, seed=3, mask_padding=True)
+        out = run_scrub_task(cfg, params, lambda: iter(fl_true),
+                             lambda: iter(rl), tbf, tbr)
+        report["scrub"] = {k: out[k] for k in
+                           ("forget_acc_before", "forget_acc",
+                            "remain_acc", "best_h")}
+        report["scrub"]["wallclock_s"] = round(time.time() - t2, 1)
+        print("SCRUB:", json.dumps(report["scrub"]), flush=True)
+
+    _finish(report, t0)
+
+
+def _finish(report, t0):
     report["total_wallclock_s"] = round(time.time() - t0, 1)
     print(json.dumps(report, indent=2), flush=True)
-    with open("/tmp/integration_baselines.json", "w") as f:
-        json.dump(report, f)
+    out_path = "/tmp/integration_baselines.json"
+    merged = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
+    merged.update(report)
+    with open(out_path, "w") as f:
+        json.dump(merged, f)
 
 
 if __name__ == "__main__":

@@ -229,6 +229,54 @@ def test_lirf(setup):
     assert "student_low" in out and "deposit_low" in out
 
 
+def test_lirf_merges_lora_into_teacher(setup):
+    """A LoRA-carrying pretrained model must enter LIRF as the MERGED
+    backbone: facc_before equals the merged model's accuracy, not the
+    adapter-stripped base's."""
+    from gslora_tpu.engine.ema import merged_params
+    from gslora_tpu.engine.evaluate import eval_accuracy, make_eval_step
+    from gslora_tpu.lora.core import init_lora
+
+    params, forget_tr, remain_tr, forget_te, remain_te = setup
+    lora4 = LoraConfig(rank=4)
+    # graft nonzero adapters onto the pretrained base so merged != base
+    lt = init_lora(jax.random.key(5), MODEL, lora4)
+    lt = jax.tree.map(lambda a: a + 0.05, lt)  # B != 0 -> real deltas
+    p4 = {"base": params["base"], "lora": lt}
+    cfg = RunConfig(model=MODEL, lora=lora4,
+                    optim=OptimConfig(opt="adamw", lr=1e-3,
+                                      warmup_epochs=0, epochs=1),
+                    forget=ForgetConfig(per_forget_cls=2),
+                    baseline=BaselineConfig(method="lirf"),
+                    data=DataConfig(batch_size=8), num_epoch=1,
+                    ver_freq=10_000, compute_dtype="float32")
+    fl, rl, tbf, tbr = _loaders(forget_tr, remain_tr, forget_te, remain_te)
+    out = run_lirf_task(cfg, p4, lambda: iter(fl), CyclingLoader(rl),
+                        tbf, tbr, num_epoch=0)
+    ev = make_eval_step(MODEL, lora4, compute_dtype=jnp.float32)
+    merged = {"base": merged_params(params["base"], lt, lora4.scaling),
+              "lora": {}}
+    want = eval_accuracy(ev, merged, tbf())
+    assert abs(out["forget_acc_before"] - want) < 1e-6
+
+
+def test_lirf_eval_ignores_pad_rows(setup):
+    """lirf_eval_accuracy on padded static-shape loaders must divide by
+    the VALID count (regression: 100 correct / 240-padded-batch read as
+    41.7%)."""
+    from gslora_tpu.baselines.lirf import lirf_eval_accuracy
+    params, _, _, forget_te, _ = setup
+    base = params["base"]
+    plain = lirf_eval_accuracy(
+        base, base, BatchLoader(forget_te, 5, shuffle=False, prefetch=0),
+        MODEL, LORA, jnp.float32)
+    padded = lirf_eval_accuracy(
+        base, base, BatchLoader(forget_te, 9, shuffle=False, prefetch=0,
+                                mask_padding=True),
+        MODEL, LORA, jnp.float32)
+    assert abs(plain - padded) < 1e-6
+
+
 def test_scrub_helpers():
     a = {"w": jnp.ones((2, 2))}
     b = {"w": jnp.zeros((2, 2))}

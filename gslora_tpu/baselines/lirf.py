@@ -117,9 +117,14 @@ def make_lirf_step(model: ViTConfig, lora: LoraConfig, optimizer,
     return step
 
 
-def lirf_eval_accuracy(teacher, student_low, batches, model: ViTConfig,
-                       lora: LoraConfig, compute_dtype=jnp.bfloat16) -> float:
-    """eval_data_LIRF: accuracy of teacher_up(student_low(x))."""
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _make_lirf_eval(model: ViTConfig, lora: LoraConfig, compute_dtype):
+    """Cached jitted composed-eval step: rebuilding the closure per call
+    would defeat jax.jit's cache and recompile on every eval (minutes on
+    tunneled TPUs). Configs are frozen dataclasses, hence hashable."""
 
     @jax.jit
     def ev(student_low, teacher, x, y):
@@ -129,14 +134,26 @@ def lirf_eval_accuracy(teacher, student_low, batches, model: ViTConfig,
         pred = jnp.argmax(logits, axis=-1)
         return jnp.sum((pred == y).astype(jnp.int32))
 
+    return ev
+
+
+def lirf_eval_accuracy(teacher, student_low, batches, model: ViTConfig,
+                       lora: LoraConfig, compute_dtype=jnp.bfloat16) -> float:
+    """eval_data_LIRF: accuracy of teacher_up(student_low(x))."""
     import numpy as np
-    correct = total = 0
+    ev = _make_lirf_eval(model, lora, compute_dtype)
+    corrects = []
+    total = 0
     for x, y in batches:
-        c = ev(student_low, teacher, jnp.asarray(x), jnp.asarray(y))
-        correct += int(c)
+        corrects.append(ev(student_low, teacher, jnp.asarray(x),
+                           jnp.asarray(y)))
         # valid rows only: label -1 is the pad sentinel (mask_padding
-        # loaders on TPU/mesh); it never equals an argmax
+        # loaders on TPU/mesh); it never equals an argmax. Counts stay on
+        # device until the end (no per-batch RTT).
         total += int((np.asarray(y) >= 0).sum())
+    if not corrects:
+        return 0.0
+    correct = int(sum(corrects[1:], corrects[0]))
     return 100.0 * correct / max(total, 1)
 
 

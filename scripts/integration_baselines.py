@@ -56,7 +56,7 @@ def main():
                          "see the saturation artifact in BASELINE.md")
     a = ap.parse_args()
     methods = {m.strip() for m in a.methods.split(",") if m.strip()}
-    known = {"ewc", "scrub", "lwf", "lirf"}
+    known = {"ewc", "scrub", "lwf", "lirf", "gs_lora"}
     unknown = methods - known
     if unknown or not methods:
         raise SystemExit(f"unknown --methods {sorted(unknown)}; "
@@ -111,6 +111,32 @@ def main():
 
     sfx = "_unsat" if a.unsaturated else ""
     report = {"pretrain_test_acc" + sfx: pre_acc}
+
+    if "gs_lora" in methods:
+        # --- GS-LoRA(++) headline method: bounded ascent + remain CE +
+        # group-Lasso over rank-8 FFN LoRA (true forget labels)
+        t1 = time.time()
+        from gslora_tpu.engine.loop import ForgetData, run_forget_training
+        cfg = RunConfig(
+            model=MODEL, lora=LORA,
+            optim=OptimConfig(opt="adamw", lr=1e-2, warmup_epochs=0,
+                              epochs=12),
+            forget=ForgetConfig(num_of_first_cls=80, per_forget_cls=20,
+                                bnd=110.0 if MODEL.head_type == "CosFace"
+                                else 10.0,
+                                beta=0.15, alpha=1e-4, alpha_epoch=0),
+            data=DataConfig(batch_size=BS), num_epoch=12, ver_freq=10_000,
+            compute_dtype="bfloat16", lora_apply="merged", fused_batch=True)
+        data = ForgetData(train_forget=forget_sub, train_remain=remain_sub,
+                          test_forget=forget_te, test_remain=remain_te)
+        res = run_forget_training(cfg, params, data)
+        report['gs_lora' + sfx] = {
+            "forget_acc_before": res.forget_acc_before,
+            "forget_acc": res.forget_acc, "remain_acc": res.remain_acc,
+            "best_h": res.best_h,
+            "wallclock_s": round(time.time() - t1, 1)}
+        print("GS-LoRA:", json.dumps(report['gs_lora' + sfx]), flush=True)
+        _finish(dict(report), t0)
 
     if "lwf" in methods:
         # --- LwF (intended KD; teacher frozen at task start)

@@ -56,7 +56,7 @@ def main():
                          "see the saturation artifact in BASELINE.md")
     a = ap.parse_args()
     methods = {m.strip() for m in a.methods.split(",") if m.strip()}
-    known = {"ewc", "scrub", "lwf", "lirf", "gs_lora"}
+    known = {"ewc", "scrub", "lwf", "lirf", "gs_lora", "der", "der_plus", "fdr"}
     unknown = methods - known
     if unknown or not methods:
         raise SystemExit(f"unknown --methods {sorted(unknown)}; "
@@ -138,8 +138,10 @@ def main():
         print("GS-LoRA:", json.dumps(report['gs_lora' + sfx]), flush=True)
         _finish(dict(report), t0)
 
-    if "lwf" in methods:
-        # --- LwF (intended KD; teacher frozen at task start)
+    for dm in ("lwf", "der", "der_plus", "fdr"):
+        if dm not in methods:
+            continue
+        # --- teacher-student family (teacher frozen at task start)
         t1 = time.time()
         from gslora_tpu.baselines.distill import run_distill_task
         from gslora_tpu.data.pipeline import CyclingLoader
@@ -148,19 +150,20 @@ def main():
             optim=OptimConfig(opt="adamw", lr=1e-4, warmup_epochs=0,
                               epochs=6),
             forget=ForgetConfig(num_of_first_cls=80, per_forget_cls=20),
-            baseline=BaselineConfig(method="lwf", lwf_lambda_kd=0.5,
-                                    lwf_lambda_remain=1.0),
+            baseline=BaselineConfig(method=dm, lwf_lambda_kd=0.5,
+                                    lwf_lambda_remain=1.0, der_lambda=0.1,
+                                    der_plus_lambda=0.1, fdr_lambda=0.1),
             data=DataConfig(batch_size=BS), num_epoch=6, ver_freq=10_000,
             compute_dtype="bfloat16")
         fl = BatchLoader(relabeled, BS, seed=4, mask_padding=True)
         rl = BatchLoader(remain_sub, BS, seed=5, mask_padding=True)
         out = run_distill_task(cfg, params, params, lambda: iter(fl),
                                CyclingLoader(rl), tbf, tbr)
-        report['lwf' + sfx] = {k: out[k] for k in
-                        ("forget_acc_before", "forget_acc", "remain_acc",
-                         "best_h")}
-        report['lwf' + sfx]["wallclock_s"] = round(time.time() - t1, 1)
-        print("LwF:", json.dumps(report['lwf' + sfx]), flush=True)
+        report[dm + sfx] = {k: out[k] for k in
+                            ("forget_acc_before", "forget_acc",
+                             "remain_acc", "best_h")}
+        report[dm + sfx]["wallclock_s"] = round(time.time() - t1, 1)
+        print(f"{dm}:", json.dumps(report[dm + sfx]), flush=True)
         _finish(dict(report), t0)
 
     if "lirf" in methods:

@@ -84,14 +84,44 @@ class FaceRecordDataset:
         return len(self.samples)
 
     def decode(self, i: int) -> np.ndarray:
-        from PIL import Image
         key, _ = self.samples[i]
         _, body = read_record(self._rec, self.idx[key])
+        return self._decode_body(body)
+
+    def _decode_body(self, body: bytes) -> np.ndarray:
+        from PIL import Image
         img = Image.open(io.BytesIO(body)).convert("RGB")
         arr = np.asarray(img, np.float32) / 255.0
         if self.rand_mirror and self._rng.randint(2):
             arr = arr[:, ::-1]
         return arr.transpose(2, 0, 1).copy()
+
+    def _native(self):
+        """Lazy threaded C++ reader (native/recordio.cpp) — the batched
+        pread path that feeds the pipeline; None when the lib isn't
+        built."""
+        if not hasattr(self, "_native_reader"):
+            self._native_reader = None
+            try:
+                from gslora_tpu.native import NativeRecordReader, available
+                if available():
+                    self._native_reader = NativeRecordReader(self.rec_path)
+            except Exception:
+                self._native_reader = None
+        return self._native_reader
+
+    def decode_batch(self, idxs) -> np.ndarray:
+        """Batched decode: raw record reads go through the C++ pread
+        thread pool when built (byte-identical to the python reader,
+        test_native), PIL decodes the bytes. Mirror RNG draws stay in
+        per-sample order, so native and python paths produce identical
+        batches."""
+        reader = self._native()
+        if reader is None:
+            return np.stack([self.decode(i) for i in idxs])
+        pos = [reader._key_to_pos[self.samples[i][0]] for i in idxs]
+        _, bodies = reader.read_batch(pos)
+        return np.stack([self._decode_body(b) for b in bodies])
 
 
 def write_recordio(path: str, records: List[Tuple[np.ndarray, bytes]],

@@ -42,8 +42,14 @@ import os
 
 # (b,h) slices per program — amortizes per-GEMM pipeline bubbles on the
 # MXU (per-slice GEMMs at n=197/d=64 run ~11 TF/s under XLA; blocking 8
-# slices into one program measured +5% full-step throughput on v5e)
-BLOCK_SLICES = int(os.environ.get("GSLORA_ATTN_BLOCK", "8"))
+# slices into one program measured +5% full-step throughput on v5e).
+# Clamped to >=1: 0/negative/garbage would divide the grid by zero.
+try:
+    BLOCK_SLICES = max(1, int(os.environ.get("GSLORA_ATTN_BLOCK", "8")))
+except ValueError:
+    import warnings
+    warnings.warn("GSLORA_ATTN_BLOCK is not an integer; using 8")
+    BLOCK_SLICES = 8
 
 
 def _qkv_specs(g, n, d):

@@ -39,7 +39,8 @@ void jpeg_err_exit(j_common_ptr cinfo) {
 }
 
 bool decode_jpeg(const unsigned char* data, size_t len,
-                 std::vector<unsigned char>& rgb, int& w, int& h) {
+                 std::vector<unsigned char>& rgb, int& w, int& h,
+                 int want_w, int want_h) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -51,6 +52,13 @@ bool decode_jpeg(const unsigned char* data, size_t len,
   jpeg_create_decompress(&cinfo);
   jpeg_mem_src(&cinfo, data, len);
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  // dims are known from the header: decline resize-needed images BEFORE
+  // paying the full decode (the caller re-decodes via PIL on decline)
+  if (static_cast<int>(cinfo.image_width) != want_w ||
+      static_cast<int>(cinfo.image_height) != want_h) {
     jpeg_destroy_decompress(&cinfo);
     return false;
   }
@@ -70,7 +78,8 @@ bool decode_jpeg(const unsigned char* data, size_t len,
 }
 
 bool decode_png_mem(const unsigned char* data, size_t len,
-                    std::vector<unsigned char>& rgb, int& w, int& h) {
+                    std::vector<unsigned char>& rgb, int& w, int& h,
+                    int want_w, int want_h) {
   png_image image;
   std::memset(&image, 0, sizeof image);
   image.version = PNG_IMAGE_VERSION;
@@ -78,6 +87,10 @@ bool decode_png_mem(const unsigned char* data, size_t len,
   image.format = PNG_FORMAT_RGB;
   w = static_cast<int>(image.width);
   h = static_cast<int>(image.height);
+  if (w != want_w || h != want_h) {  // decline before the pixel decode
+    png_image_free(&image);
+    return false;
+  }
   rgb.resize(PNG_IMAGE_SIZE(image));
   if (!png_image_finish_read(&image, nullptr, rgb.data(), 0, nullptr)) {
     png_image_free(&image);
@@ -111,10 +124,12 @@ int decode_one(const char* path, float* out, int64_t H, int64_t W) {
   int w = 0, h = 0;
   bool ok = false;
   if (file[0] == 0xFF && file[1] == 0xD8) {
-    ok = decode_jpeg(file.data(), file.size(), rgb, w, h);
+    ok = decode_jpeg(file.data(), file.size(), rgb, w, h,
+                     static_cast<int>(W), static_cast<int>(H));
   } else if (file[0] == 0x89 && file[1] == 'P' && file[2] == 'N' &&
              file[3] == 'G') {
-    ok = decode_png_mem(file.data(), file.size(), rgb, w, h);
+    ok = decode_png_mem(file.data(), file.size(), rgb, w, h,
+                        static_cast<int>(W), static_cast<int>(H));
   }
   if (!ok || w != W || h != H) return 0;
 

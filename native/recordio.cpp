@@ -62,8 +62,19 @@ void* ri_open(const char* rec_path, const char* idx_path) {
     delete h;
     return nullptr;
   }
-  int64_t key, off;
-  while (idx >> key >> off) {
+  // strict line-based parse: a malformed line FAILS the open instead of
+  // silently truncating the dataset at that point (the pure-python reader
+  // processes the whole file — the two readers must agree)
+  std::string line;
+  while (std::getline(idx, line)) {
+    if (line.find_first_not_of(" \t\r\n") == std::string::npos) continue;
+    char extra;
+    int64_t key, off;
+    if (sscanf(line.c_str(), "%ld %ld %c", &key, &off, &extra) != 2) {
+      close(h->fd);
+      delete h;
+      return nullptr;
+    }
     h->keys.push_back(key);
     h->offsets.push_back(off);
   }
@@ -99,6 +110,10 @@ int64_t ri_read(void* handle, int64_t i, float* label, uint8_t* out,
   uint32_t hdr[2];
   if (pread(h->fd, hdr, 8, h->offsets[i]) != 8) return -1;
   if (hdr[0] != kMagic) return -1;
+  // upper 3 bits = continuation flag: nonzero marks a multi-part record
+  // (mxnet recordio chunking) — fail loudly rather than serve the first
+  // chunk as a complete (truncated) record
+  if ((hdr[1] >> 29) != 0) return -1;
   int64_t len = hdr[1] & ((1u << 29) - 1);
   if (len < static_cast<int64_t>(sizeof(IRHeader))) return -1;
   std::vector<uint8_t> payload(len);
@@ -107,8 +122,12 @@ int64_t ri_read(void* handle, int64_t i, float* label, uint8_t* out,
   std::memcpy(&ir, payload.data(), sizeof(IRHeader));
   int64_t body_off = sizeof(IRHeader);
   if (ir.flag > 0) {
-    std::memcpy(label, payload.data() + body_off, sizeof(float));
+    // validate the label count against the payload: a corrupt flag would
+    // otherwise read out of bounds and wrap body_len negative (heap OOB /
+    // giant memcpy — confirmed crash on fuzzed records)
     body_off += 4 * static_cast<int64_t>(ir.flag);
+    if (body_off > len) return -1;
+    std::memcpy(label, payload.data() + sizeof(IRHeader), sizeof(float));
   } else {
     *label = ir.label;
   }
@@ -134,11 +153,16 @@ int ri_read_batch(void* handle, const int64_t* idxs, int64_t n,
       uint32_t hdr[2];
       int64_t i = idxs[j];
       if (i < 0 || i >= static_cast<int64_t>(h->offsets.size()) ||
-          pread(h->fd, hdr, 8, h->offsets[i]) != 8 || hdr[0] != kMagic) {
+          pread(h->fd, hdr, 8, h->offsets[i]) != 8 || hdr[0] != kMagic ||
+          (hdr[1] >> 29) != 0) {
         err = 1;
         return;
       }
       sizes[j] = hdr[1] & ((1u << 29) - 1);
+      if (sizes[j] < static_cast<int64_t>(sizeof(IRHeader))) {
+        err = 1;
+        return;
+      }
     }
   };
   int nt = n_threads > 0 ? n_threads : 4;
@@ -159,15 +183,32 @@ int ri_read_batch(void* handle, const int64_t* idxs, int64_t n,
   }
   if (total > cap) return -2;
 
+  // pass 2: pread each payload DIRECTLY into its slot (sizes/offsets are
+  // known from pass 1 — no second header pread, no temp buffer), parse
+  // the IRHeader in place and slide the body to the slot start
   auto read_worker = [&](int64_t lo, int64_t hi) {
     for (int64_t j = lo; j < hi; ++j) {
-      int64_t len = ri_read(h, idxs[j], &labels[j], out + starts[j],
-                            sizes[j]);
-      if (len < 0) {
+      int64_t len = sizes[j];
+      uint8_t* slot = out + starts[j];
+      if (pread(h->fd, slot, len, h->offsets[idxs[j]] + 8) != len) {
         err = 1;
         return;
       }
-      lengths[j] = len;
+      IRHeader ir;
+      std::memcpy(&ir, slot, sizeof(IRHeader));
+      int64_t body_off = sizeof(IRHeader);
+      if (ir.flag > 0) {
+        body_off += 4 * static_cast<int64_t>(ir.flag);
+        if (body_off > len) {  // corrupt label count (see ri_read)
+          err = 1;
+          return;
+        }
+        std::memcpy(&labels[j], slot + sizeof(IRHeader), sizeof(float));
+      } else {
+        labels[j] = ir.label;
+      }
+      std::memmove(slot, slot + body_off, len - body_off);
+      lengths[j] = len - body_off;
     }
   };
   {

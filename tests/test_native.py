@@ -65,6 +65,73 @@ def test_native_batched_reads_match_python(native, tmp_path):
     r.close()
 
 
+def test_native_rejects_corrupt_records(native, tmp_path):
+    """Robustness (fuzz regression): a record whose IRHeader.flag claims
+    more labels than the payload holds must return a read ERROR — the
+    unvalidated path read out of heap bounds and wrapped body_len negative
+    (confirmed SIGSEGV). A nonzero continuation flag must also fail loudly
+    instead of serving a truncated body."""
+    import struct
+
+    path, _ = _write_fixture(tmp_path)
+    r = native.NativeRecordReader(path)
+    pos = r._key_to_pos[1]
+    # corrupt record 1 in place: oversized label count
+    from gslora_tpu.data.recordio import read_idx_file
+    idx = read_idx_file(path[:-4] + ".idx")
+    off = idx[1]
+    with open(path, "r+b") as f:
+        f.seek(off + 8)  # past magic+lrecord, at IRHeader.flag
+        f.write(struct.pack("<I", 1_000_000))
+    with pytest.raises(IOError):
+        r.read(pos)
+    assert r._lib.ri_read_batch is not None
+    with pytest.raises(IOError):
+        r.read_batch([pos])
+    r.close()
+
+    # continuation flag set (upper 3 bits of lrecord)
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    path2, _ = _write_fixture(sub)
+    r2 = native.NativeRecordReader(path2)
+    idx2 = read_idx_file(path2[:-4] + ".idx")
+    with open(path2, "r+b") as f:
+        f.seek(idx2[1] + 4)
+        lrec = struct.unpack("<I", f.read(4))[0]
+        f.seek(idx2[1] + 4)
+        f.write(struct.pack("<I", lrec | (1 << 29)))
+    with pytest.raises(IOError):
+        r2.read(r2._key_to_pos[1])
+    r2.close()
+
+
+def test_native_idx_malformed_line_fails_open(native, tmp_path):
+    """A malformed .idx line must fail ri_open loudly, not silently
+    truncate the dataset at that line."""
+    path, _ = _write_fixture(tmp_path)
+    idx_path = path[:-4] + ".idx"
+    lines = open(idx_path).read().splitlines()
+    lines.insert(len(lines) // 2, "garbage line")
+    open(idx_path, "w").write("\n".join(lines) + "\n")
+    with pytest.raises(IOError):
+        native.NativeRecordReader(path)
+
+
+def test_face_record_dataset_native_batch_path(native, tmp_path):
+    """FaceRecordDataset.decode_batch routes raw reads through the C++
+    thread pool and must produce the same batch as the python reader."""
+    from gslora_tpu.data.recordio import FaceRecordDataset
+    path, _ = _write_fixture(tmp_path)
+    ds_native = FaceRecordDataset(path, rand_mirror=False)
+    batch = ds_native.decode_batch(list(range(len(ds_native))))
+    assert ds_native._native_reader is not None  # native path engaged
+    ds_py = FaceRecordDataset(path, rand_mirror=False)
+    ds_py._native_reader = None  # force the python path
+    want = np.stack([ds_py.decode(i) for i in range(len(ds_py))])
+    np.testing.assert_array_equal(batch, want)
+
+
 def test_native_image_decode_matches_pil(native, tmp_path):
     """The C++ decoder (libjpeg/libpng — the codecs PIL wraps) must produce
     bit-identical floats to the PIL path for already-sized images, and

@@ -78,3 +78,41 @@ def test_group_lasso_pallas_matches_reference_any_shape(L, r, d, m, seed,
     for key, g in zip(("A1", "B1", "A2", "B2"), g_got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref[key]),
                                    rtol=1e-4, atol=1e-5)
+
+
+@settings(max_examples=12, deadline=None)
+@given(L=st.integers(1, 6), r=st.integers(1, 6), d=st.integers(1, 16),
+       m=st.integers(1, 16), thr=st.floats(0.0, 5.0),
+       seed=st.integers(0, 2**31 - 1), zero_layer=st.booleans())
+def test_group_prox_pallas_soft_threshold_property(L, r, d, m, thr, seed,
+                                                   zero_layer):
+    """Fused proximal update: each block's post-norm equals
+    max(0, ||theta_l|| - thr) and the direction is preserved (all-zero
+    blocks stay zero)."""
+    from gslora_tpu.ops.group_lasso import group_prox_pallas
+
+    rng = np.random.RandomState(seed % (2**31))
+
+    def mk(*shape):
+        return rng.randn(*shape).astype(np.float32) * 0.3
+
+    parts = [mk(L, r, d), mk(L, m, r), mk(L, r, m), mk(L, d, r)]
+    if zero_layer:
+        for p in parts:
+            p[0] = 0.0
+    A1, B1, A2, B2 = (jnp.asarray(p) for p in parts)
+    o1, ob1, o2, ob2 = group_prox_pallas(A1, B1, A2, B2, float(thr))
+
+    for layer in range(L):
+        pre = np.sqrt(sum(float(jnp.sum(t[layer] ** 2))
+                          for t in (A1, B1, A2, B2)))
+        post = np.sqrt(sum(float(jnp.sum(t[layer] ** 2))
+                           for t in (o1, ob1, o2, ob2)))
+        np.testing.assert_allclose(post, max(0.0, pre - thr),
+                                   rtol=1e-4, atol=1e-5)
+        if pre > thr + 1e-6:
+            # direction preserved: out = scale * in with scale >= 0
+            scale = (pre - thr) / pre
+            np.testing.assert_allclose(np.asarray(o1[layer]),
+                                       np.asarray(A1[layer]) * scale,
+                                       rtol=1e-4, atol=1e-5)

@@ -86,8 +86,14 @@ def estimate_importance(method: str, params, batches, model: ViTConfig,
     else:
         raise ValueError(f"unknown importance method {method}")
 
-    batches = list(batches)
-    n = len(batches)
+    # stream the batches: len() is available on BatchLoader, and
+    # materializing a full decoded split (list(...)) costs tens of GB of
+    # host RAM at ImageNet scale
+    try:
+        n = len(batches)
+    except TypeError:
+        batches = list(batches)
+        n = len(batches)
     imp = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
     for x, y in batches:
         y = jnp.asarray(y)

@@ -59,7 +59,8 @@ def main(argv=None):
     setup_jax_runtime()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
-    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    from gslora_tpu.engine.loop import _dtype
+    cdt = _dtype(cfg)
     f = cfg.forget
 
     train_ds, test_ds = build_datasets(cfg)

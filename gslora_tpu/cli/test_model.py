@@ -22,7 +22,8 @@ def main(argv=None):
     setup_jax_runtime()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
-    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    from gslora_tpu.engine.loop import _dtype
+    cdt = _dtype(cfg)
     _, test_ds = build_datasets(cfg)
     params = build_params(cfg)
 
@@ -66,8 +67,16 @@ def main(argv=None):
                                compute_dtype=cdt)
             return emb
 
-        for name, data_set, issame in get_val_data(
-                cfg.data.data_root, targets, cfg.model.image_size):
+        found = get_val_data(cfg.data.data_root, targets,
+                             cfg.model.image_size)
+        missing = sorted(set(targets) - {name for name, *_ in found})
+        if missing:
+            # a typoed target or wrong data_root must not read as a
+            # clean run with the metric silently absent
+            import warnings
+            warnings.warn(f"verification targets without a .bin under "
+                          f"{cfg.data.data_root}: {missing}")
+        for name, data_set, issame in found:
             vacc, vstd, xnorm, thr, (fpr, tpr) = perform_val(
                 lambda b: embed(jnp.asarray(b)), data_set, issame,
                 embedding_size=cfg.model.dim, return_roc=True)

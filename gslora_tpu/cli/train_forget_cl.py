@@ -105,11 +105,14 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
                 anchors.append(params)
                 names, n_cls = unique_classes(remain_sub)
                 print("importance class", names, n_cls)  # cl_open.py:707
-                imp_batches = list(BatchLoader(remain_sub, bs, shuffle=False,
-                                               prefetch=0,
-                                               mask_padding=pad))
+                # the loader streams decode; estimate_importance consumes
+                # it batch-by-batch (materializing the split would cost
+                # tens of GB at ImageNet scale)
                 importances.append(estimate_importance(
-                    method, params, imp_batches, cfg.model, cfg.lora, cdt))
+                    method, params,
+                    BatchLoader(remain_sub, bs, shuffle=False, prefetch=0,
+                                mask_padding=pad),
+                    cfg.model, cfg.lora, cdt))
             out = run_regularization_task(
                 cfg, params, lambda: iter(fl), tbf, tbr, lam=lam,
                 anchors=anchors, importances=importances, logger=logger,
@@ -123,15 +126,17 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
                     f.num_of_first_cls, f.per_forget_cls, task + 1)
                 next_remain, _ = split_by_class_window(train_ds, order,
                                                        ns1, ne1, 0, 0)
-                imp_batches = list(BatchLoader(next_remain, bs,
-                                               shuffle=False, prefetch=0,
-                                               mask_padding=pad))
                 importances.append(estimate_importance(
-                    method, params, imp_batches, cfg.model, cfg.lora, cdt))
+                    method, params,
+                    BatchLoader(next_remain, bs, shuffle=False, prefetch=0,
+                                mask_padding=pad),
+                    cfg.model, cfg.lora, cdt))
         elif method == "retrain":
             fresh = build_params(
                 RunConfig(net=cfg.net, model=cfg.model, lora=cfg.lora,
-                          data=cfg.data), seed=cfg.data.seed + 7 + task)
+                          data=cfg.data, param_dtype=cfg.param_dtype,
+                          compute_dtype=cfg.compute_dtype),
+                seed=cfg.data.seed + 7 + task)
             out = run_regularization_task(
                 cfg, fresh, lambda: iter(rl), tbf, tbr, lam=0.0,
                 anchors=[], importances=[], logger=logger,
@@ -230,17 +235,22 @@ def main(argv=None):
     logger = MetricLogger(use_wandb=cfg.log_wandb, outdir=cfg.outdir,
                           config=json.loads(cfg.to_json()))
 
+    # one eval step for both the before and after miss evals (a fresh
+    # make_eval_step per call would recompile — minutes on tunneled TPUs)
+    miss_ev = make_eval_step(cfg.model, cfg.lora, compute_dtype=_dtype(cfg)) \
+        if miss_ds is not None else None
+    miss_pad = jax.default_backend() != "cpu"
+
     def missing_acc(tag, p):
         """Held-out-class accuracy with the restored 1000-way head
         (cl.py:294-312, :1738-1763)."""
         if miss_ds is None:
             return None
         from gslora_tpu.models.vit_imagenet import resume_head
-        ev = make_eval_step(cfg.model, cfg.lora, compute_dtype=_dtype(cfg))
         acc = eval_accuracy(
-            ev, resume_head(p, original_head),
+            miss_ev, resume_head(p, original_head),
             BatchLoader(miss_ds, cfg.data.batch_size, shuffle=False,
-                        prefetch=0))
+                        prefetch=0, mask_padding=miss_pad))
         print(f"missing-class acc {tag}: {acc:.2f}%")
         logger.log({f"imagenet-val-miss_{tag}": acc})
         return acc

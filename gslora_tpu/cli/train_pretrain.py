@@ -32,7 +32,8 @@ def main(argv=None):
     setup_jax_runtime(rng_impl="rbg" if getattr(args, "fast", False)
                       else None)
     cfg = config_from_args(args)
-    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    from gslora_tpu.engine.loop import _dtype
+    cdt = _dtype(cfg)
 
     train_ds, test_ds = build_datasets(cfg)
     params = build_params(cfg)

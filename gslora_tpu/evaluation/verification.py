@@ -16,6 +16,12 @@ import numpy as np
 
 def _kfold_indices(n: int, k: int):
     """sklearn KFold(shuffle=False) split semantics."""
+    if n < k:
+        # sklearn parity: empty test folds would otherwise produce 0/0
+        # NaN accuracies that propagate silently into reports
+        raise ValueError(
+            f"Cannot have number of splits={k} greater than the number "
+            f"of samples={n}")
     sizes = np.full(k, n // k)
     sizes[: n % k] += 1
     idx = np.arange(n)

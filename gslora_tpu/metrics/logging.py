@@ -25,9 +25,13 @@ class MetricLogger:
                 except ImportError:
                     pass
                 import wandb
-                self._wandb = wandb
                 wandb.init(project=project, name=run_name, config=config)
+                # assign only AFTER init succeeds: a failed init (no API
+                # key, offline host) must degrade to console, not leave a
+                # wandb handle whose .log() crashes the run
+                self._wandb = wandb
             except Exception as e:  # wandb missing or offline: degrade
+                self._wandb = None
                 print(f"[metrics] wandb unavailable ({e}); console only")
         if outdir:
             os.makedirs(outdir, exist_ok=True)

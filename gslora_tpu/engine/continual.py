@@ -141,7 +141,9 @@ def run_continual_forgetting(cfg: RunConfig, params, train_ds: Dataset,
             workdir=f"{workdir}/task_{task}" if workdir else None,
             protos=protos, beta=beta, pro_f_weight=w_pro_f,
             seed_offset=task * 1000, mesh=mesh,
-            h_eps=1e-8)  # CL H-mean guard (engine_cl.py:279)
+            h_eps=1e-8,  # CL H-mean guard (engine_cl.py:279)
+            continual=True)  # engine_cl semantics: remain drives, no
+        #                     bare alpha_epoch gate
         params = {"base": res.state.base, "lora": res.state.lora}
 
         old_acc = None

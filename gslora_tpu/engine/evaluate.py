@@ -16,9 +16,18 @@ from gslora_tpu.config import LoraConfig, ViTConfig
 from gslora_tpu.models.vit import vit_apply
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
 def make_eval_step(model: ViTConfig, lora: LoraConfig,
                    compute_dtype=jnp.bfloat16):
-    """eval_step(params, x, y) -> (n_correct, n_total) for one batch."""
+    """eval_step(params, x, y) -> (n_correct, n_total) for one batch.
+
+    Cached per (model, lora, dtype) — configs are frozen dataclasses, so
+    repeated construction (per CL task, per runner) returns the SAME
+    jitted function and reuses its XLA executables instead of recompiling
+    (minutes each on tunneled TPUs)."""
 
     @jax.jit
     def eval_step(params, x, y):

@@ -152,19 +152,23 @@ def make_forget_step(model: ViTConfig, lora: LoraConfig, fcfg: ForgetConfig,
 
 
 def scalars_for_epoch(cfg: RunConfig, epoch: int, *, beta=None, alpha=None,
-                      w_pro_f=None, w_pro_r=None, lr: float = 0.0):
+                      w_pro_f=None, w_pro_r=None, lr: float = 0.0,
+                      continual: bool = False):
     """Host-side per-epoch loss-weight schedule → traced scalar dict.
 
     Reproduces: alpha warmup (alpha=0 before alpha_epoch, then big_alpha —
-    train_own_forget.py:723-727; the epoch<ALPHA_EPOCH structure-loss gate of
-    engine.py:82-90 is alpha=0), beta decay (:728-732).
+    train_own_forget.py:723-727, also present in the CL driver
+    cl.py:1007-1011); beta decay (:728-732). The bare epoch<ALPHA_EPOCH
+    structure-loss gate (engine.py:82-90) exists ONLY in the single-step
+    engine — engine_cl applies the structure loss every epoch, so
+    ``continual=True`` skips it.
     """
     f = cfg.forget
     b = f.beta if beta is None else beta
     a = f.alpha if alpha is None else alpha
     if f.warmup_alpha:
         a = 0.0 if epoch < f.alpha_epoch else f.big_alpha
-    elif epoch < f.alpha_epoch and f.alpha_epoch > 0 and not f.warmup_alpha:
+    elif not continual and epoch < f.alpha_epoch and f.alpha_epoch > 0:
         # engine.py:82-90: structure loss only from ALPHA_EPOCH on
         a = 0.0
     if f.beta_decay and epoch >= 50:

@@ -62,6 +62,24 @@ def _dtype(cfg: RunConfig):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_step(model, lora, fcfg, optim_cfg, cdt, lora_apply,
+                 structure_mode, fused_batch, trainable):
+    """(optimizer, jitted step) cached per configuration: a 4-task CL run
+    otherwise rebuilds the step closure per task and pays a fresh XLA
+    compile each time (minutes on tunneled TPUs). All keys are frozen
+    dataclasses / strings, hence hashable."""
+    opt = make_optimizer(optim_cfg)
+    step = make_forget_step(model, lora, fcfg, opt, compute_dtype=cdt,
+                            lora_apply=lora_apply,
+                            structure_mode=structure_mode,
+                            fused_batch=fused_batch, trainable=trainable)
+    return opt, step
+
+
 def run_forget_training(cfg: RunConfig, params, data: ForgetData,
                         logger: Optional[MetricLogger] = None,
                         workdir: Optional[str] = None,
@@ -69,10 +87,16 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
                         beta: Optional[float] = None,
                         pro_f_weight: Optional[float] = None,
                         seed_offset: int = 0, mesh=None,
-                        h_eps: float = 0.0) -> ForgetResult:
+                        h_eps: float = 0.0,
+                        continual: bool = False) -> ForgetResult:
     """``mesh``: optional jax.sharding.Mesh — params replicate, train
     batches shard over the ``data`` axis (XLA all-reduces LoRA grads over
-    ICI). Single-device runs pass None."""
+    ICI). Single-device runs pass None.
+
+    ``continual``: select the engine_cl semantics for a CL task — the
+    remain loader ALWAYS drives the epoch (engine_cl.py:50-60; the
+    few-shot forget-drives branch is engine.py:53 single-step only) and
+    the structure loss has no bare alpha_epoch gate."""
     model, lora, fcfg = cfg.model, cfg.lora, cfg.forget
     cdt = _dtype(cfg)
     logger = logger or MetricLogger()
@@ -106,17 +130,14 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
                     jax.device_put(jnp.asarray(y), batch_sh))
         return jnp.asarray(x), jnp.asarray(y)
 
-    opt = make_optimizer(cfg.optim)
     # lora_rank 0 → the reference trains ALL parameters under the same
     # dual-batch loss ("train all parameters",
     # train_own_forget_open.py:699-706 — the open-set recipe path)
     trainable = "lora" if params.get("lora") else "base"
+    opt, step_fn = _cached_step(model, lora, fcfg, cfg.optim, cdt,
+                                cfg.lora_apply, cfg.structure_mode,
+                                cfg.fused_batch, trainable)
     state = ForgetState.create(params, opt, trainable=trainable)
-    step_fn = make_forget_step(model, lora, fcfg, opt, compute_dtype=cdt,
-                               lora_apply=cfg.lora_apply,
-                               structure_mode=cfg.structure_mode,
-                               fused_batch=cfg.fused_batch,
-                               trainable=trainable)
     eval_step = make_eval_step(model, lora, compute_dtype=cdt)
 
     # prototypes from the *pretrained* model over forget ∪ remain subsets
@@ -163,12 +184,14 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
     if ckpt:
         ckpt.save_config(cfg.to_json())
 
-    # the longer stream drives the epoch (engine.py:53)
-    forget_drives = fcfg.few_shot and len(loader_f) > len(loader_r)
+    # single-step: the longer stream drives the epoch (engine.py:53);
+    # continual: remain always drives (engine_cl.py:50-60)
+    forget_drives = (not continual and fcfg.few_shot and
+                     len(loader_f) > len(loader_r))
 
     rng = jax.random.key(seed)
     batch = 0
-    best_h = float("-inf")
+    best_h = 0.0  # reference highest_H_mean init (train_own_forget.py:548)
     last = {"forget_acc": forget_acc_before, "remain_acc": remain_acc_before,
             "open_acc": None}
     ema = None
@@ -202,7 +225,8 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
     for epoch in range(cfg.num_epoch):
         lr = timm_cosine_lr(cfg.optim, epoch)
         scalars = scalars_for_epoch(cfg, epoch, lr=lr, beta=beta,
-                                    w_pro_f=pro_f_weight)
+                                    w_pro_f=pro_f_weight,
+                                    continual=continual)
         ep_t0, ep_images = _time.perf_counter(), 0
         if forget_drives:
             driver, cycler = loader_f, CyclingLoader(loader_r)

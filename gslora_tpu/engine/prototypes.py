@@ -17,6 +17,22 @@ import numpy as np
 from gslora_tpu.config import LoraConfig, ViTConfig
 from gslora_tpu.models.vit import vit_apply
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _embed_builder(model: ViTConfig, lora: LoraConfig, compute_dtype):
+    """Cached jitted embed (params passed as an argument so per-task
+    parameter updates don't retrace): per-call closures would recompile
+    on every CL task (minutes each on tunneled TPUs)."""
+
+    @jax.jit
+    def embed(params, x):
+        return vit_apply(params, x, None, model, lora, train=False,
+                         compute_dtype=compute_dtype)
+
+    return embed
+
 
 def calculate_prototypes(params, batches, model: ViTConfig, lora: LoraConfig,
                          num_classes: int, compute_dtype=jnp.bfloat16,
@@ -28,11 +44,10 @@ def calculate_prototypes(params, batches, model: ViTConfig, lora: LoraConfig,
     aug_repeat=0: clean images once (the non-few-shot reference path).
     aug_repeat=k: k RandAugment(magnitude=aug_magnitude) views per image,
     no clean view (reference x20 replication)."""
+    ebuilder = _embed_builder(model, lora, compute_dtype)
 
-    @jax.jit
     def embed(x):
-        return vit_apply(params, x, None, model, lora, train=False,
-                         compute_dtype=compute_dtype)
+        return ebuilder(params, x)
 
     aug = None
     if aug_repeat > 0:

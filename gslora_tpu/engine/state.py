@@ -60,7 +60,3 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     raise ValueError(f"unknown optimizer {cfg.opt}")
 
 
-def set_lr(opt_state, lr):
-    """Write a new learning rate into an inject_hyperparams opt state."""
-    opt_state.hyperparams["learning_rate"] = lr
-    return opt_state

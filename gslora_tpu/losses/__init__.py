@@ -9,5 +9,4 @@ from gslora_tpu.losses.regularization import quadratic_penalty  # noqa: F401
 from gslora_tpu.losses.distillation import (  # noqa: F401
     attention_transfer_loss,
     kd_kl_loss,
-    logit_l2_loss,
 )

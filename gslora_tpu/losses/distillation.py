@@ -5,9 +5,6 @@
                   the class-slice KD of LIRF (baselines/LIRFtrain.py).
 * lwf_kd_loss   — LwF's custom soft-target loss with temperature *power*
                   (baselines/Lwftrain.py:12-27 L_old_kd_loss).
-* logit_l2_loss — FDR's row-wise L2 between student/teacher logits
-                  (baselines/FDRtrain.py:17) and DER's embedding/logit MSE
-                  (baselines/DERtrain.py:12-16).
 * attention_transfer_loss — LIRF's AT loss over token maps
                   (baselines/LIRFtrain.py:17-40).
 
@@ -50,9 +47,12 @@ def kd_kl_loss(student_logits, teacher_logits, T: float,
 
 def lwf_kd_loss(student_logits, teacher_logits, T: float,
                 labels: Optional[jax.Array] = None) -> jax.Array:
-    """LwF soft-target loss (Lwftrain.py:12-27): softmaxes raised to 1/T and
-    renormalized, then -mean(sum(t' * log s')) over valid rows. Reproduces
-    the reference's nan-scrub by clipping the log argument."""
+    """The INTENDED LwF soft-target loss (Lwftrain.py:12-27 recipe):
+    softmaxes raised to 1/T and renormalized, then -mean(sum(t' * log s'))
+    over valid rows. NOTE the reference's own implementation double-logs
+    (log of log_softmax) and NaN-scrubs every entry, so its KD term is
+    identically ZERO — that bit-faithful behavior lives behind
+    make_distill_step(faithful_zero_kd=True), not here."""
     s = jax.nn.softmax(student_logits.astype(jnp.float32), axis=1)
     t = jax.nn.softmax(teacher_logits.astype(jnp.float32), axis=1)
     s = s ** (1.0 / T)
@@ -60,15 +60,6 @@ def lwf_kd_loss(student_logits, teacher_logits, T: float,
     s = s / jnp.sum(s, axis=1, keepdims=True)
     t = t / jnp.sum(t, axis=1, keepdims=True)
     per_row = -jnp.sum(t * jnp.log(jnp.clip(s, 1e-12)), axis=1)
-    return _masked_row_mean(per_row, labels)
-
-
-def logit_l2_loss(student, teacher,
-                  labels: Optional[jax.Array] = None) -> jax.Array:
-    """Mean squared difference (DERtrain.py:12-16 / FDRtrain.py:17) over
-    valid rows."""
-    d = student.astype(jnp.float32) - teacher.astype(jnp.float32)
-    per_row = jnp.mean(d ** 2, axis=tuple(range(1, d.ndim)))
     return _masked_row_mean(per_row, labels)
 
 

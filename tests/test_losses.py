@@ -7,7 +7,7 @@ import pytest
 from gslora_tpu.losses.classification import (bounded_forget_loss,
                                               cross_entropy, top1_accuracy)
 from gslora_tpu.losses.distillation import (attention_transfer_loss,
-                                            kd_kl_loss, logit_l2_loss,
+                                            kd_kl_loss,
                                             lwf_kd_loss)
 from gslora_tpu.losses.prototype import hinged_prototype_losses, \
     prototype_loss
@@ -101,7 +101,6 @@ def test_misc_losses_finite():
     s = jnp.asarray(rng.randn(4, 10).astype(np.float32))
     t = jnp.asarray(rng.randn(4, 10).astype(np.float32))
     assert np.isfinite(float(lwf_kd_loss(s, t, 2.0)))
-    assert float(logit_l2_loss(s, s)) == 0.0
     tok_s = jnp.asarray(rng.randn(2, 5, 8).astype(np.float32))
     tok_t = jnp.asarray(rng.randn(2, 5, 8).astype(np.float32))
     assert float(attention_transfer_loss(tok_s, tok_s)) == 0.0
@@ -153,7 +152,7 @@ def test_distill_losses_ignore_pad_sentinel():
     import numpy as np
     from gslora_tpu.baselines.distill import der_loss, fdr_loss
     from gslora_tpu.losses.distillation import (attention_transfer_loss,
-                                                kd_kl_loss, logit_l2_loss,
+                                                kd_kl_loss,
                                                 lwf_kd_loss)
 
     rng = np.random.RandomState(1)
@@ -166,7 +165,7 @@ def test_distill_losses_ignore_pad_sentinel():
                lambda a, b, y: lwf_kd_loss(a, b, 2.0, labels=y),
                lambda a, b, y: der_loss(a, b, labels=y),
                lambda a, b, y: fdr_loss(a, b, labels=y),
-               lambda a, b, y: logit_l2_loss(a, b, labels=y)):
+               ):
         np.testing.assert_allclose(
             float(fn(s, t, pad)), float(fn(s[:4], t[:4], labels)), rtol=1e-5)
         # labels=None keeps the original unmasked reduction

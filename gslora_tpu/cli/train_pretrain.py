@@ -72,6 +72,43 @@ def main(argv=None):
     ckpt = BestHCheckpointer(cfg.outdir, name=cfg.net) if cfg.outdir else None
     if ckpt:
         ckpt.save_config(cfg.to_json())
+
+    # in-training LFW-style pair verification (reference train_own.py
+    # evaluates perform_val + buffer_val per VER_FREQ window,
+    # util/utils.py:167-232 / :298-313) when --ver_targets names .bin sets
+    ver_sets = []
+    targets = [t for t in getattr(args, "ver_targets", "").split(",") if t]
+    if targets:
+        from gslora_tpu.data.recordio import get_val_data
+        from gslora_tpu.models.vit import vit_apply
+        ver_sets = get_val_data(cfg.data.data_root, targets,
+                                cfg.model.image_size)
+        missing = sorted(set(targets) - {name for name, *_ in ver_sets})
+        if missing:
+            import warnings
+            warnings.warn(f"verification targets without a .bin under "
+                          f"{cfg.data.data_root}: {missing}")
+
+    def run_verification(params_now, batch):
+        if not ver_sets:
+            return
+        from gslora_tpu.evaluation.verification import perform_val
+        from gslora_tpu.metrics.logging import buffer_val, gen_roc_plot
+
+        @jax.jit
+        def embed(x):
+            _, emb = vit_apply(params_now, x,
+                               jnp.zeros((x.shape[0],), jnp.int32),
+                               cfg.model, cfg.lora, train=False,
+                               compute_dtype=cdt)
+            return emb
+
+        for name, data_set, issame in ver_sets:
+            vacc, vstd, xnorm, thr, (fpr, tpr) = perform_val(
+                lambda b: embed(jnp.asarray(b)), data_set, issame,
+                embedding_size=cfg.model.dim, return_roc=True)
+            buffer_val(logger, name, vacc, vstd, xnorm, thr,
+                       gen_roc_plot(fpr, tpr), batch=batch)
     rng = jax.random.key(cfg.data.seed)
     best_acc = float("-inf")
     batch = 0
@@ -88,6 +125,7 @@ def main(argv=None):
             if (batch + 1) % 20 == 0:
                 acc = eval_accuracy(eval_step, state.params, test_batches())
                 logger.log({"Test Accuracy": acc}, step=batch)
+                run_verification(state.params, batch)
                 if acc > best_acc and ckpt:
                     best_acc = acc
                     ckpt.maybe_save(acc, state.params, epoch, batch)

@@ -146,3 +146,35 @@ def test_train_pretrain_cli_dp(tmp_path):
         "-e", "1", "--lr", "1e-3", "--dp",
     ]))
     assert report["final_test_acc"] >= 0
+
+
+def test_train_pretrain_cli_ver_targets(tmp_path):
+    """--ver_targets wires LFW-style perform_val/buffer_val into the
+    pretrain eval loop (reference train_own.py in-training verification +
+    util/utils.py:298-313)."""
+    import io
+    import pickle
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.RandomState(7)
+    bins = []
+    for _ in range(24):  # 12 pairs (>= the 10 KFold splits)
+        img = Image.fromarray((rng.rand(16, 16, 3) * 255).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        bins.append(buf.getvalue())
+    with open(tmp_path / "lfw.bin", "wb") as f:
+        pickle.dump((bins, [True, False] * 6), f)
+
+    from gslora_tpu.cli import train_pretrain
+    report = train_pretrain.main(_common_args(tmp_path, [
+        "-e", "1", "--lr", "1e-3",
+        "--data_root", str(tmp_path), "--ver_targets", "lfw",
+    ]))
+    assert report["final_test_acc"] >= 0
+    logged = [json.loads(ln) for ln in
+              (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    keys = {k for rec in logged for k in rec}
+    assert "lfw_Accuracy" in keys and "lfw_Best_Threshold" in keys

@@ -104,18 +104,24 @@ class ImageFolderDataset(Dataset):
 
 
 def _resize_short(img, size: int):
+    """torchvision transforms.Resize(int) semantics (image_iter.py:144):
+    short side -> size with BILINEAR (torchvision's PIL default), long side
+    scaled by int() truncation (torchvision F.resize)."""
+    from PIL import Image
     w, h = img.size
     if w <= h:
-        nw, nh = size, max(1, round(h * size / w))
+        nw, nh = size, max(1, int(h * size / w))
     else:
-        nw, nh = max(1, round(w * size / h)), size
-    return img.resize((nw, nh))
+        nw, nh = max(1, int(w * size / h)), size
+    return img.resize((nw, nh), Image.BILINEAR)
 
 
 def _center_crop(img, size: int):
+    """torchvision transforms.CenterCrop semantics (image_iter.py:145):
+    offsets int(round(diff / 2)) (Python banker's rounding, as torchvision)."""
     w, h = img.size
-    left = (w - size) // 2
-    top = (h - size) // 2
+    left = int(round((w - size) / 2.0))
+    top = int(round((h - size) / 2.0))
     return img.crop((left, top, left + size, top + size))
 
 

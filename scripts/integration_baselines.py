@@ -56,7 +56,8 @@ def main():
                          "see the saturation artifact in BASELINE.md")
     a = ap.parse_args()
     methods = {m.strip() for m in a.methods.split(",") if m.strip()}
-    known = {"ewc", "scrub", "lwf", "lirf", "gs_lora", "der", "der_plus", "fdr"}
+    known = {"ewc", "mas", "l2", "retrain", "replay", "scrub", "lwf",
+             "lirf", "gs_lora", "der", "der_plus", "fdr"}
     unknown = methods - known
     if unknown or not methods:
         raise SystemExit(f"unknown --methods {sorted(unknown)}; "
@@ -190,32 +191,70 @@ def main():
         print("LIRF:", json.dumps(report['lirf' + sfx]), flush=True)
         _finish(dict(report), t0)
 
-    if "ewc" in methods:
-        # --- EWC (train_one_epoch_regularzation + grad^2 importance)
+    # --- regularization family (train_one_epoch_regularzation):
+    # EWC/MAS/L2 quadratic penalties on relabeled forget data; lambdas from
+    # the reference recipes (run_cl_forget.sh templates: ewc 10, MAS 5,
+    # l2 0.1; run_forget_open.sh confirms ewc 10)
+    for rm, lam in (("ewc", 10.0), ("mas", 5.0), ("l2", 0.1)):
+        if rm not in methods:
+            continue
         t1 = time.time()
         cfg = RunConfig(
             model=MODEL, lora=LORA,
             optim=OptimConfig(opt="adamw", lr=1e-4, warmup_epochs=0,
                               epochs=6),
             forget=ForgetConfig(num_of_first_cls=80, per_forget_cls=20),
-            baseline=BaselineConfig(method="ewc", ewc_lambda=10.0),
+            baseline=BaselineConfig(method=rm, **{rm + "_lambda": lam}),
             data=DataConfig(batch_size=BS), num_epoch=6, ver_freq=10_000,
             compute_dtype="bfloat16")
-        imp_batches = list(BatchLoader(remain_sub, BS, shuffle=False,
-                                       prefetch=0, mask_padding=True))
-        imp = estimate_importance("ewc", params, imp_batches, MODEL, LORA,
-                                  jnp.bfloat16)
+        imp = estimate_importance(
+            rm, params,
+            BatchLoader(remain_sub, BS, shuffle=False, prefetch=0,
+                        mask_padding=True),
+            MODEL, LORA, jnp.bfloat16)
         fl = BatchLoader(relabeled, BS, seed=1, mask_padding=True)
-        # lambda 10 = the reference's active EWC open-set recipe
-        # (run_forget_open.sh EWC template)
         out = run_regularization_task(cfg, params, lambda: iter(fl), tbf,
-                                      tbr, lam=10.0, anchors=[params],
+                                      tbr, lam=lam, anchors=[params],
                                       importances=[imp])
-        report['ewc' + sfx] = {k: out[k] for k in
-                         ("forget_acc_before", "forget_acc", "remain_acc",
-                          "best_h")}
-        report['ewc' + sfx]["wallclock_s"] = round(time.time() - t1, 1)
-        print("EWC:", json.dumps(report['ewc' + sfx]), flush=True)
+        report[rm + sfx] = {k: out[k] for k in
+                            ("forget_acc_before", "forget_acc",
+                             "remain_acc", "best_h")}
+        report[rm + sfx]["wallclock_s"] = round(time.time() - t1, 1)
+        print(f"{rm}:", json.dumps(report[rm + sfx]), flush=True)
+        _finish(dict(report), t0)
+
+    for rm in ("retrain", "replay"):
+        if rm not in methods:
+            continue
+        # --- retrain: FRESH model on remain only (cl.py:1108-1189);
+        # --- replay: pretrained model on relabeled-forget + remain concat
+        # (cl.py:691-695); both through the lam=0 regularization loop
+        t1 = time.time()
+        cfg = RunConfig(
+            model=MODEL, lora=LORA,
+            optim=OptimConfig(opt="adamw", lr=1e-4, warmup_epochs=0,
+                              epochs=6),
+            forget=ForgetConfig(num_of_first_cls=80, per_forget_cls=20),
+            baseline=BaselineConfig(method=rm),
+            data=DataConfig(batch_size=BS), num_epoch=6, ver_freq=10_000,
+            compute_dtype="bfloat16")
+        if rm == "retrain":
+            start = init_vit_params(jax.random.key(11), MODEL, LORA,
+                                    param_dtype=jnp.float32)
+            tl = BatchLoader(remain_sub, BS, seed=8, mask_padding=True)
+        else:
+            from gslora_tpu.data.folders import ConcatDataset
+            start = params
+            tl = BatchLoader(ConcatDataset(relabeled, remain_sub), BS,
+                             seed=9, mask_padding=True)
+        out = run_regularization_task(cfg, start, lambda: iter(tl), tbf,
+                                      tbr, lam=0.0, anchors=[],
+                                      importances=[])
+        report[rm + sfx] = {k: out[k] for k in
+                            ("forget_acc_before", "forget_acc",
+                             "remain_acc", "best_h")}
+        report[rm + sfx]["wallclock_s"] = round(time.time() - t1, 1)
+        print(f"{rm}:", json.dumps(report[rm + sfx]), flush=True)
         _finish(dict(report), t0)
 
     if "scrub" in methods:

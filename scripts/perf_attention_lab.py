@@ -19,7 +19,9 @@ STEP_GFLOP_PER_IMG = 24.0  # analytic 3x fwd (BASELINE.md derivation)
 CEILING_TFLOPS = 67.0  # observed v5e bf16 ceiling on this tunnel (DEVNOTES)
 
 
-def measure(model, lora, fcfg, bs: int, k: int, lora_apply: str = "merged"):
+def measure(model, lora, fcfg, bs: int, k: int, lora_apply: str = "merged",
+            fused_batch: bool = True,
+            gflop_per_img: float = STEP_GFLOP_PER_IMG):
     import jax
     import jax.numpy as jnp
 
@@ -34,10 +36,11 @@ def measure(model, lora, fcfg, bs: int, k: int, lora_apply: str = "merged"):
     state = ForgetState.create(params, opt)
     step = make_forget_step(model, lora, fcfg, opt,
                             compute_dtype=jnp.bfloat16, use_prototype=True,
-                            lora_apply=lora_apply, fused_batch=True)
-    xf = jax.random.normal(jax.random.key(1), (bs, 3, 112, 112), jnp.float32)
+                            lora_apply=lora_apply, fused_batch=fused_batch)
+    hw = model.image_size
+    xf = jax.random.normal(jax.random.key(1), (bs, 3, hw, hw), jnp.float32)
     yf = jnp.arange(bs, dtype=jnp.int32) % 10 + 90
-    xr = jax.random.normal(jax.random.key(2), (bs, 3, 112, 112), jnp.float32)
+    xr = jax.random.normal(jax.random.key(2), (bs, 3, hw, hw), jnp.float32)
     yr = jnp.arange(bs, dtype=jnp.int32) % 90
     protos = jax.random.normal(jax.random.key(3),
                                (model.num_class, model.dim), jnp.float32)
@@ -65,8 +68,8 @@ def measure(model, lora, fcfg, bs: int, k: int, lora_apply: str = "merged"):
     return {
         "images_per_sec": round(ips, 1),
         "ms_per_step": round(best / k * 1e3, 2),
-        "achieved_tflops": round(ips * STEP_GFLOP_PER_IMG / 1e3, 1),
-        "mfu_vs_ceiling": round(ips * STEP_GFLOP_PER_IMG / 1e3
+        "achieved_tflops": round(ips * gflop_per_img / 1e3, 1),
+        "mfu_vs_ceiling": round(ips * gflop_per_img / 1e3
                                 / CEILING_TFLOPS, 3),
     }
 

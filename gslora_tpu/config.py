@@ -54,8 +54,14 @@ class ViTConfig:
     # kernel — measured +5% full-step over the XLA einsums on v5e)
     # rematerialize block activations in backward (jax.checkpoint on the
     # scan body): trades ~33% more FLOPs for O(1)-in-depth activation
-    # memory — enables large-batch pretraining within one chip's HBM
+    # memory — enables large-batch pretraining within one chip's HBM.
+    # Measured on v5e: HURTS ViT-P8S8 (2194 vs 2282 img/s) but WINS on
+    # ViT-B/16 (771 vs 712) where the 86M-param AdamW working set
+    # pressures HBM (scripts/perf_b16_lab.py round-3 campaign)
     remat: bool = False
+    # lax.scan unroll factor over the block axis (1 = no unroll): >1 lets
+    # XLA fuse/pipeline across adjacent layers at the cost of code size
+    scan_unroll: int = 1
 
     @classmethod
     def vit_b16(cls, num_class: int = 100, **overrides) -> "ViTConfig":

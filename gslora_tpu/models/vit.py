@@ -303,8 +303,10 @@ def transformer_stack(x: jax.Array, blocks: Params, lora_tree: Params,
     xs = (blocks, lora_tree if lora_tree else None, layer_rngs)
     if model.remat:
         body = jax.checkpoint(body)
-    # scan over the stacked layer axis: traces the block body once
-    x, _ = jax.lax.scan(body, x, xs, length=n_layers)
+    # scan over the stacked layer axis: traces the block body once;
+    # scan_unroll>1 trades code size for cross-layer fusion/pipelining
+    x, _ = jax.lax.scan(body, x, xs, length=n_layers,
+                        unroll=max(1, min(model.scan_unroll, n_layers)))
     return x
 
 

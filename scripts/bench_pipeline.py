@@ -1,0 +1,187 @@
+"""End-to-end input-pipeline benchmark (VERDICT round-2 item #3).
+
+Proves (or honestly bounds) that the host can feed the chip at the
+headline 2288 img/s: the bench.py number pre-stages tensors on device
+(correct for this environment's ~12 MB/s tunneled H2D — DEVNOTES), so the
+claim "native decode + prefetch can feed the chip" needs its own numbers:
+
+  a) raw decode rate: native C++ thread-pool (native/imagedec.cpp) vs PIL
+     on a generated CASIA-scale ImageFolder (112x112 JPEG);
+  b) BatchLoader (+bg decode thread) sustained epoch feed rate, and
+     BatchLoader -> DevicePrefetcher on-device delivery rate;
+  c) the fully composed decode -> H2D -> jitted forget step img/s on TPU,
+     plus an isolated H2D transfer measurement so the tunnel bottleneck is
+     visible and the PCIe projection can be stated.
+
+Reference analogue: util/data_prefetcher.py CUDA-stream double buffering +
+DataLoader workers.
+
+Run:  python scripts/bench_pipeline.py [--stage a|b|c|all] [--n 2000]
+CPU-only stages a/b run anywhere; stage c needs the TPU.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BS = 48  # per stream, the flagship forget recipe
+
+
+def build_folder(root: str, n_images: int, image_size: int = 112,
+                 classes: int = 50) -> str:
+    """CASIA-scale stand-in: pre-sized JPEG class folders."""
+    import numpy as np
+    from PIL import Image
+    if os.path.exists(os.path.join(root, ".done")):
+        return root
+    rng = np.random.RandomState(0)
+    per = n_images // classes
+    for c in range(classes):
+        d = os.path.join(root, f"id_{c:05d}")
+        os.makedirs(d, exist_ok=True)
+        for i in range(per):
+            arr = (rng.rand(image_size, image_size, 3) * 255).astype("uint8")
+            Image.fromarray(arr).save(os.path.join(d, f"{i:04d}.jpg"),
+                                      quality=95)
+    open(os.path.join(root, ".done"), "w").close()
+    return root
+
+
+def stage_a(ds, n: int):
+    import numpy as np
+    idxs = list(range(min(n, len(ds))))
+    from gslora_tpu.native import decode_image_batch
+    paths = [ds.samples[i][0] for i in idxs]
+    # warm the page cache so both measure decode, not disk
+    for p in paths:
+        with open(p, "rb") as f:
+            f.read()
+    t0 = time.perf_counter()
+    out, ok = decode_image_batch(paths, ds.image_size, ds.image_size)
+    native_s = time.perf_counter() - t0
+    assert ok.all()
+    t0 = time.perf_counter()
+    pil = np.stack([ds.decode(i) for i in idxs])
+    pil_s = time.perf_counter() - t0
+    assert np.array_equal(out, pil), "native/PIL pixel mismatch"
+    return {"native_decode_ips": round(len(idxs) / native_s, 1),
+            "pil_decode_ips": round(len(idxs) / pil_s, 1),
+            "speedup": round(pil_s / native_s, 2)}
+
+
+def stage_b(ds):
+    from gslora_tpu.data.pipeline import BatchLoader, DevicePrefetcher
+    loader = BatchLoader(ds, 2 * BS, seed=0, mask_padding=True)
+    n = t = 0
+    for _ in range(2):  # 2 epochs; first warms caches/threads
+        t0 = time.perf_counter()
+        k = sum(x.shape[0] for x, _ in loader)
+        t = time.perf_counter() - t0
+        n = k
+    host_ips = n / t
+    import jax
+    pf = DevicePrefetcher(iter(BatchLoader(ds, 2 * BS, seed=1,
+                                           mask_padding=True)), depth=2)
+    t0 = time.perf_counter()
+    k = 0
+    for x, y in pf:
+        k += int(x.shape[0])
+    # a host readback is the only real sync on the tunnel (DEVNOTES)
+    float(jax.numpy.sum(y))
+    dev_ips = k / (time.perf_counter() - t0)
+    return {"batchloader_host_ips": round(host_ips, 1),
+            "device_prefetcher_ips": round(dev_ips, 1)}
+
+
+def stage_c(ds):
+    """Composed: BatchLoader -> DevicePrefetcher -> jitted flagship forget
+    step, one epoch, honest final readback; plus isolated H2D rate."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gslora_tpu.config import OptimConfig
+    from gslora_tpu.engine.forget import make_forget_step
+    from gslora_tpu.engine.state import ForgetState, make_optimizer
+    from gslora_tpu.models.vit import init_vit_params
+    from gslora_tpu.data.pipeline import BatchLoader, DevicePrefetcher
+    from __graft_entry__ import _flagship_configs
+
+    model, lora, fcfg = _flagship_configs()
+    params = init_vit_params(jax.random.key(0), model, lora,
+                             param_dtype=jnp.bfloat16)
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-2))
+    state = ForgetState.create(params, opt)
+    step = make_forget_step(model, lora, fcfg, opt,
+                            compute_dtype=jnp.bfloat16, use_prototype=True,
+                            lora_apply="merged", fused_batch=True)
+    protos = jnp.zeros((model.num_class, model.dim), jnp.float32)
+    sc = {k: jnp.float32(v) for k, v in dict(
+        beta=0.15, alpha=0.01, lr=1e-2, bnd=110.0, bnd_pro=18.0,
+        w_pro_f=0.1, w_pro_r=0.1).items()}
+
+    # isolated H2D: one dual-stream float32 batch
+    batch = np.random.RandomState(0).rand(2 * BS, 3, 112, 112).astype(
+        np.float32)
+    mb = batch.nbytes / 1e6
+    t0 = time.perf_counter()
+    x = jax.device_put(batch)
+    float(jnp.sum(x))  # readback sync
+    h2d_s = time.perf_counter() - t0
+    h2d = {"h2d_mb_per_s": round(mb / h2d_s, 1),
+           "batch_mb": round(mb, 1)}
+
+    def run_epoch():
+        pf = DevicePrefetcher(iter(BatchLoader(ds, 2 * BS, seed=2,
+                                               mask_padding=True)), depth=2)
+        st, k, last = state, 0, None
+        t0 = time.perf_counter()
+        for x, y in pf:
+            half = x.shape[0] // 2
+            st, m = step(st, x[:half], y[:half], x[half:], y[half:],
+                         protos, sc, jax.random.key(k))
+            k += int(x.shape[0])
+            last = m["loss_total"]
+        float(last)  # the only real sync on the tunnel
+        return k / (time.perf_counter() - t0)
+
+    run_epoch()  # compile warmup epoch
+    ips = max(run_epoch() for _ in range(2))
+    return {**h2d, "composed_ips": round(ips, 1)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="all", choices=["a", "b", "c", "all"])
+    ap.add_argument("--n", type=int, default=2000)
+    ap.add_argument("--root", default="/tmp/pipeline_bench_folder")
+    args = ap.parse_args()
+
+    from gslora_tpu.data.folders import ImageFolderDataset
+    build_folder(args.root, args.n)
+    ds = ImageFolderDataset(args.root, image_size=112)
+
+    out = {}
+    if args.stage in ("a", "all"):
+        out["decode"] = stage_a(ds, args.n)
+        print(json.dumps({"decode": out["decode"]}), flush=True)
+    if args.stage in ("b", "all"):
+        out["feed"] = stage_b(ds)
+        print(json.dumps({"feed": out["feed"]}), flush=True)
+    if args.stage in ("c", "all"):
+        from gslora_tpu.cli.common import setup_jax_runtime
+        setup_jax_runtime()
+        import jax
+        jax.config.update("jax_default_prng_impl", "rbg")
+        out["composed"] = stage_c(ds)
+        print(json.dumps({"composed": out["composed"]}), flush=True)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -102,7 +102,11 @@ def main():
         nodrop = "nodrop" in parts[1:]
         bs = next((int(p[1:]) for p in parts[1:]
                    if p.startswith("b") and p[1:].isdigit()), 48)
+        unroll = next((int(p[1:]) for p in parts[1:]
+                       if p.startswith("u") and p[1:].isdigit()), 1)
         m = dataclasses.replace(model, attn_impl=impl,
+                                remat="remat" in parts[1:],
+                                scan_unroll=unroll,
                                 **({"dropout": 0.0, "emb_dropout": 0.0}
                                    if nodrop else {}))
         try:

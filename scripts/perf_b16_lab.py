@@ -67,6 +67,9 @@ def main():
             over.update(soft_split=False)
         if "remat" in mods:
             over.update(remat=True)
+        unroll = next((int(p[1:]) for p in mods
+                       if p.startswith("u") and p[1:].isdigit()), 1)
+        over.update(scan_unroll=unroll)
         m = dataclasses.replace(base, **over)
         try:
             r = measure(m, lora, fcfg, bs, args.k,

@@ -59,9 +59,14 @@ class ViTConfig:
     # ViT-B/16 (771 vs 712) where the 86M-param AdamW working set
     # pressures HBM (scripts/perf_b16_lab.py round-3 campaign)
     remat: bool = False
-    # lax.scan unroll factor over the block axis (1 = no unroll): >1 lets
-    # XLA fuse/pipeline across adjacent layers at the cost of code size
-    scan_unroll: int = 1
+    # lax.scan unroll factor over the block axis: 0 = "auto" (FULL unroll
+    # on accelerators, scan on CPU — mirrors attn_impl="auto"), 1 = plain
+    # scan, N = unroll N body copies. Full unroll lets XLA fuse/pipeline
+    # across adjacent layers: ViT-P8S8 forget step 2282 -> 3187 img/s on
+    # v5e (+40%; bit-exact — measured round 3, scripts/perf_attention_lab).
+    # PARTIAL unroll (1 < N < depth) keeps the loop AND duplicates the
+    # body — measured pathological (1337 img/s); avoid.
+    scan_unroll: int = 0
 
     @classmethod
     def vit_b16(cls, num_class: int = 100, **overrides) -> "ViTConfig":

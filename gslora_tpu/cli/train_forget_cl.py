@@ -287,7 +287,7 @@ def main(argv=None):
         with open(os.path.join(cfg.outdir, "report.json"), "w") as fh:
             json.dump(report, fh, indent=2)
     from gslora_tpu.metrics.logging import make_run_name
-    logger.set_run_name(make_run_name(cfg))
+    logger.set_run_name(make_run_name(cfg, cl=True))
     logger.finish()
     return report
 

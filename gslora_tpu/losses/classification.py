@@ -36,3 +36,15 @@ def top1_accuracy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Top-1 accuracy in percent (util/utils.py train_accuracy topk=(1,))."""
     pred = jnp.argmax(logits, axis=-1)
     return 100.0 * _masked_mean((pred == labels).astype(jnp.float32), labels)
+
+
+def topk_accuracy(logits: jax.Array, labels: jax.Array,
+                  topk=(1,)) -> tuple:
+    """Precision@k for each k (util/utils.py:354-368 train_accuracy):
+    returns a tuple of scalar percentages, pad sentinel (-1) masked."""
+    maxk = max(topk)
+    _, pred = jax.lax.top_k(logits, maxk)  # (..., maxk), ties broken by idx
+    hit = (pred == labels[..., None]).astype(jnp.float32)  # (..., maxk)
+    return tuple(
+        100.0 * _masked_mean(jnp.sum(hit[..., :k], axis=-1), labels)
+        for k in topk)

@@ -118,23 +118,57 @@ def buffer_val(logger: MetricLogger, db_name: str, acc: float, std: float,
         logger.log_image(f"{db_name}_ROC_Curve", roc_image, step=batch)
 
 
-def make_run_name(cfg, num_epoch: int | None = None) -> str:
+def make_run_name(cfg, num_epoch: int | None = None,
+                  cl: bool = False) -> str:
     """Run name assembled from hyperparameters at exit — byte-for-byte the
-    reference recipe (train_own_forget.py:844-877): base
+    reference recipes.
+
+    Single-step (default; train_own_forget.py:844-877): base
     ``remain-{first}-forget-{per}-lora_rank-{r}beta{b}lr{lr}BND{bnd}alpha{a}``
-    with ``-warmup_alpha{big}`` appended and few-shot / EMA prefixes."""
+    with ``-warmup_alpha{big}`` appended and few-shot / EMA prefixes.
+
+    ``cl=True`` (train_own_forget_cl.py:1764-1807): the base stops at
+    ``lr{lr}``, and every baseline method branch prepends its prefix
+    (``ewc{λ}``, ``mas{λ}``, ``l2{λ}``, ``retrain-``, ``LIRF``,
+    ``SCRUB{smoothing}``, ``Lwf``, ``DER{plus}{λ}``, ``FDR{λ}``), then
+    few-shot and ``imagenet100-`` prepend outermost."""
     f = cfg.forget
     # str() everywhere matches the reference exactly: its values come
     # straight from argparse-typed floats/ints through str concatenation
     name = ("remain-" + str(f.num_of_first_cls) + "-forget-" +
             str(f.per_forget_cls) + "-lora_rank-" + str(cfg.lora.rank) +
-            "beta" + str(f.beta) + "lr" + str(cfg.optim.lr) +
-            "BND" + str(f.bnd) + "alpha" + str(f.alpha))
-    if f.warmup_alpha:
-        name = name + "-warmup_alpha" + str(f.big_alpha)
+            "beta" + str(f.beta) + "lr" + str(cfg.optim.lr))
+    if not cl:
+        name = name + "BND" + str(f.bnd) + "alpha" + str(f.alpha)
+    else:
+        b = cfg.baseline
+        m = b.method
+        if m == "ewc":
+            name = "ewc" + str(b.ewc_lambda) + name
+        elif m == "mas":
+            name = "mas" + str(b.mas_lambda) + name
+        elif m == "l2":
+            name = "l2" + str(b.l2_lambda) + name
+        elif m == "retrain":
+            name = "retrain-" + name
+        elif m == "lirf":
+            name = "LIRF" + name
+        elif m == "scrub":
+            name = "SCRUB" + str(b.sgda_smoothing) + name
+        elif m == "lwf":
+            name = "Lwf" + name
+        elif m in ("der", "der_plus"):
+            name = ("DER" + str(m == "der_plus" or b.der_plus) +
+                    str(b.der_lambda) + name)
+        elif m == "fdr":
+            name = "FDR" + str(b.fdr_lambda) + name
     if f.few_shot:
         name = ("few_shot-" + str(f.few_shot_num) + "epoch-" +
                 str(cfg.num_epoch if num_epoch is None else num_epoch) + name)
-    if f.average_weight:
+    if cl and cfg.data.data_mode == "imagenet100":
+        name = "imagenet100-" + name
+    if f.warmup_alpha:
+        name = name + "-warmup_alpha" + str(f.big_alpha)
+    if not cl and f.average_weight:
         name = "EMA" + str(f.ema_decay) + "-epoch" + str(f.ema_epoch) + name
     return name

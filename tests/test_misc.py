@@ -109,3 +109,70 @@ def test_param_summary_matches_reference_counts():
     assert s["base"] == 19_157_504
     assert abs(s["trainable_fraction"] - 0.0119) < 2e-3
     assert count_params(params["lora"]) == s["lora"]
+
+
+def test_make_run_name_cl_method_prefixes():
+    """CL recipe (train_own_forget_cl.py:1764-1807): base stops at lr,
+    method prefixes prepend, imagenet100- outermost."""
+    from gslora_tpu.config import BaselineConfig, DataConfig
+
+    f = ForgetConfig()
+    base = (f"remain-{f.num_of_first_cls}-forget-{f.per_forget_cls}"
+            f"-lora_rank-8beta{f.beta}lr")
+
+    cfg = RunConfig(forget=f, baseline=BaselineConfig(method="ewc",
+                                                      ewc_lambda=10.0))
+    name = make_run_name(cfg, cl=True)
+    assert name.startswith("ewc10.0" + base)
+    assert "BND" not in name and "alpha" not in name
+
+    cfg = RunConfig(forget=f, baseline=BaselineConfig(method="der_plus",
+                                                      der_lambda=0.05))
+    assert make_run_name(cfg, cl=True).startswith("DERTrue0.05remain-")
+
+    cfg = RunConfig(forget=f, baseline=BaselineConfig(method="scrub",
+                                                      sgda_smoothing=0.0))
+    assert make_run_name(cfg, cl=True).startswith("SCRUB0.0remain-")
+
+    cfg = RunConfig(forget=ForgetConfig(few_shot=True),
+                    baseline=BaselineConfig(method="lirf"),
+                    data=DataConfig(data_mode="imagenet100"))
+    name = make_run_name(cfg, cl=True)
+    assert name.startswith("imagenet100-few_shot-")
+    assert "LIRFremain-" in name
+
+    # gs_lora CL run: plain base, no method prefix
+    cfg = RunConfig(forget=f)
+    assert make_run_name(cfg, cl=True).startswith("remain-")
+
+
+def test_topk_accuracy_matches_torch():
+    import numpy as np
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from gslora_tpu.losses.classification import topk_accuracy
+
+    rng = np.random.RandomState(0)
+    logits = rng.randn(32, 10).astype(np.float32)
+    labels = rng.randint(0, 10, 32)
+
+    # reference util/utils.py:354-368 train_accuracy
+    out = torch.from_numpy(logits)
+    tgt = torch.from_numpy(labels)
+    maxk = 5
+    _, pred = out.topk(maxk, 1, True, True)
+    correct = pred.t().eq(tgt.view(1, -1).expand_as(pred.t()))
+    want = [float(correct[:k].reshape(-1).float().sum(0) * (100.0 / 32))
+            for k in (1, 5)]
+
+    got = topk_accuracy(jnp.asarray(logits), jnp.asarray(labels),
+                        topk=(1, 5))
+    np.testing.assert_allclose([float(g) for g in got], want, atol=1e-4)
+
+    # pad sentinel (-1) rows are excluded from the denominator
+    labels2 = labels.copy()
+    labels2[:8] = -1
+    g1, = topk_accuracy(jnp.asarray(logits), jnp.asarray(labels2), topk=(1,))
+    pred1 = logits.argmax(1)
+    want1 = 100.0 * (pred1[8:] == labels2[8:]).mean()
+    np.testing.assert_allclose(float(g1), want1, atol=1e-4)

@@ -89,19 +89,24 @@ def main(argv=None):
             warnings.warn(f"verification targets without a .bin under "
                           f"{cfg.data.data_root}: {missing}")
 
+    # jitted once; params passed as an argument so periodic verification
+    # does not recompile (a fresh closure per eval would retrace each time)
+    @jax.jit
+    def _embed(params_now, x):
+        _, emb = vit_apply(params_now, x, jnp.zeros((x.shape[0],),
+                                                    jnp.int32),
+                           cfg.model, cfg.lora, train=False,
+                           compute_dtype=cdt)
+        return emb
+
     def run_verification(params_now, batch):
         if not ver_sets:
             return
         from gslora_tpu.evaluation.verification import perform_val
         from gslora_tpu.metrics.logging import buffer_val, gen_roc_plot
 
-        @jax.jit
         def embed(x):
-            _, emb = vit_apply(params_now, x,
-                               jnp.zeros((x.shape[0],), jnp.int32),
-                               cfg.model, cfg.lora, train=False,
-                               compute_dtype=cdt)
-            return emb
+            return _embed(params_now, x)
 
         for name, data_set, issame in ver_sets:
             vacc, vstd, xnorm, thr, (fpr, tpr) = perform_val(

@@ -412,6 +412,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "merged-fold bf16 quantization caveat in "
                         "models/vit.py)")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--scan_unroll", default=0, type=int,
+                   help="block-scan unroll: 0=auto (full unroll on "
+                        "accelerators — fastest steps, slower first "
+                        "compile), 1=plain scan (fastest compile)")
     p.add_argument("--attn_impl", default="auto", type=str,
                    choices=["auto", "xla", "pallas", "dpa", "bnhd"])
     p.add_argument("--profile_dir", default="", type=str,
@@ -467,10 +471,12 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         # no dropout) — the importer's weight layout depends on these
         model = ViTConfig.vit_b16(
             num_class=100, remat=args.remat,
+            scan_unroll=getattr(args, "scan_unroll", 0),
             attn_impl=getattr(args, "attn_impl", "auto"))
     else:
         model = ViTConfig(
             remat=args.remat,
+            scan_unroll=getattr(args, "scan_unroll", 0),
             attn_impl=getattr(args, "attn_impl", "auto"),
             image_size=224 if imagenet else 112,
             patch_size=16 if imagenet else 8,

@@ -230,13 +230,19 @@ def main():
         # --- replay: pretrained model on relabeled-forget + remain concat
         # (cl.py:691-695); both through the lam=0 regularization loop
         t1 = time.time()
+        # retrain is FROM SCRATCH: give it the full pretrain recipe
+        # (same lr/epoch budget the pretrained model got) — with only the
+        # fine-tune budget a fresh ViT can't learn anything and the row
+        # is uninformative; the honest comparison is "recovers remain to
+        # the data's ceiling, but costs the whole from-scratch budget"
+        lr, n_ep = (3e-4, 12) if rm == "retrain" else (1e-4, 6)
         cfg = RunConfig(
             model=MODEL, lora=LORA,
-            optim=OptimConfig(opt="adamw", lr=1e-4, warmup_epochs=0,
-                              epochs=6),
+            optim=OptimConfig(opt="adamw", lr=lr, warmup_epochs=0,
+                              epochs=n_ep),
             forget=ForgetConfig(num_of_first_cls=80, per_forget_cls=20),
             baseline=BaselineConfig(method=rm),
-            data=DataConfig(batch_size=BS), num_epoch=6, ver_freq=10_000,
+            data=DataConfig(batch_size=BS), num_epoch=n_ep, ver_freq=10_000,
             compute_dtype="bfloat16")
         if rm == "retrain":
             start = init_vit_params(jax.random.key(11), MODEL, LORA,

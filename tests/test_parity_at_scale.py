@@ -158,3 +158,57 @@ def test_export_cli_end_to_end(tmp_path):
     # sanity: full reference key surface present (6 layers x lora keys)
     lora_keys = [k for k in un if "lora_" in k]
     assert len(lora_keys) == 6 * 4
+
+
+@pytest.mark.slow
+def test_flagship_training_dynamics_match_torch():
+    """3 full GS-LoRA forget steps at FLAGSHIP dims (512-d, depth-6,
+    19.2M params, CosFace-100, rank-8) match the torch autograd loop on
+    identical weights/batches — the at-scale extension of
+    test_training_parity (which runs dim 32): rules out dims-dependent
+    divergence (reassociation over 2048-wide FFN reductions, 196-token
+    attention) in the trained LoRA trajectory itself."""
+    import test_training_parity as ttp
+    from gslora_tpu.config import ForgetConfig, OptimConfig
+    from gslora_tpu.engine.forget import make_forget_step
+    from gslora_tpu.engine.state import ForgetState, make_optimizer
+
+    params = _flagship_params()
+    sd = to_state_dict(params, FLAGSHIP)
+
+    rng = np.random.RandomState(11)
+    steps = 3
+    batches = []
+    for _ in range(steps):
+        batches.append((rng.rand(2, 3, 112, 112).astype(np.float32),
+                        rng.randint(90, 100, 2).astype(np.int64),
+                        rng.rand(2, 3, 112, 112).astype(np.float32),
+                        rng.randint(0, 90, 2).astype(np.int64)))
+
+    torch_lora = ttp._torch_training_loop(sd, batches, FLAGSHIP.depth,
+                                          steps, cfg=FLAGSHIP, lora=LORA)
+
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=ttp.LR,
+                                     weight_decay=ttp.WD))
+    state = ForgetState.create(params, opt)
+    step = make_forget_step(FLAGSHIP, LORA,
+                            ForgetConfig(bnd=ttp.BND, beta=ttp.BETA,
+                                         alpha=ttp.ALPHA, alpha_epoch=0),
+                            opt, compute_dtype=jnp.float32,
+                            use_prototype=False)
+    sc = {k: jnp.float32(v) for k, v in dict(
+        beta=ttp.BETA, alpha=ttp.ALPHA, lr=ttp.LR, bnd=ttp.BND,
+        bnd_pro=18.0, w_pro_f=0.0, w_pro_r=0.0).items()}
+    protos = jnp.zeros((FLAGSHIP.num_class, FLAGSHIP.dim))
+    for s in range(steps):
+        xf, yf, xr, yr = batches[s]
+        state, _ = step(state, jnp.asarray(xf), jnp.asarray(yf),
+                        jnp.asarray(xr), jnp.asarray(yr), protos, sc,
+                        jax.random.key(s))
+
+    ours = to_state_dict({"base": state.base, "lora": state.lora}, FLAGSHIP)
+    for name, want in torch_lora.items():
+        got = np.asarray(ours[name])
+        np.testing.assert_allclose(
+            got, want, rtol=5e-3, atol=1e-4,
+            err_msg=f"flagship LoRA diverged after {steps} steps: {name}")

@@ -26,12 +26,19 @@ BND, BETA, ALPHA = 40.0, 0.3, 0.01
 LR, WD = 1e-3, 0.05
 
 
-def _torch_training_loop(sd, batches, depth, steps):
+def _torch_training_loop(sd, batches, depth, steps, cfg=None, lora=None):
     """Reference semantics in torch: CosFace ViT fwd, bounded forget CE +
-    remain CE + per-block group-Lasso on LoRA, AdamW on LoRA only."""
+    remain CE + per-block group-Lasso on LoRA, AdamW on LoRA only.
+
+    ``cfg``/``lora`` default to this module's tiny config; pass the
+    flagship config for the at-scale variant (test_parity_at_scale)."""
     import torch
     import torch.nn.functional as F
     from einops import rearrange as rr
+
+    cfg = CFG if cfg is None else cfg
+    lora = LORA if lora is None else lora
+    ps = cfg.patch_size
 
     t = {k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()}
     lora_names = [k for k in t if "lora" in k]
@@ -42,40 +49,40 @@ def _torch_training_loop(sd, batches, depth, steps):
 
     def fwd(img, labels):
         x = torch.from_numpy(img)
-        x = rr(x, "b c (h p1) (w p2) -> b (h w) (p1 p2 c)", p1=8, p2=8)
+        x = rr(x, "b c (h p1) (w p2) -> b (h w) (p1 p2 c)", p1=ps, p2=ps)
         x = x @ t["patch_to_embedding.weight"].T + \
             t["patch_to_embedding.bias"]
         b = x.shape[0]
-        x = torch.cat([t["cls_token"].expand(b, 1, CFG.dim), x], 1)
+        x = torch.cat([t["cls_token"].expand(b, 1, cfg.dim), x], 1)
         x = x + t["pos_embedding"][:, : x.shape[1]]
         for i in range(depth):
             p = f"transformer.layers.{i}"
-            h = F.layer_norm(x, (CFG.dim,), t[f"{p}.0.fn.norm.weight"],
+            h = F.layer_norm(x, (cfg.dim,), t[f"{p}.0.fn.norm.weight"],
                              t[f"{p}.0.fn.norm.bias"])
             qkv = h @ t[f"{p}.0.fn.fn.to_qkv.weight"].T
             q, k, v = qkv.chunk(3, -1)
-            q = rr(q, "b n (h d) -> b h n d", h=CFG.heads)
-            k = rr(k, "b n (h d) -> b h n d", h=CFG.heads)
-            v = rr(v, "b n (h d) -> b h n d", h=CFG.heads)
+            q = rr(q, "b n (h d) -> b h n d", h=cfg.heads)
+            k = rr(k, "b n (h d) -> b h n d", h=cfg.heads)
+            v = rr(v, "b n (h d) -> b h n d", h=cfg.heads)
             a = (torch.einsum("bhid,bhjd->bhij", q, k) *
-                 CFG.dim ** -0.5).softmax(-1)
+                 cfg.dim ** -0.5).softmax(-1)
             o = rr(torch.einsum("bhij,bhjd->bhid", a, v),
                    "b h n d -> b n (h d)")
             x = x + o @ t[f"{p}.0.fn.fn.to_out.0.weight"].T + \
                 t[f"{p}.0.fn.fn.to_out.0.bias"]
-            h = F.layer_norm(x, (CFG.dim,), t[f"{p}.1.fn.norm.weight"],
+            h = F.layer_norm(x, (cfg.dim,), t[f"{p}.1.fn.norm.weight"],
                              t[f"{p}.1.fn.norm.bias"])
             u = h @ t[f"{p}.1.fn.fn.net.0.weight"].T + \
                 t[f"{p}.1.fn.fn.net.0.bias"]
             u = u + (h @ t[f"{p}.1.fn.fn.net.0.lora_A"].T) @ \
-                t[f"{p}.1.fn.fn.net.0.lora_B"].T / LORA.rank
+                t[f"{p}.1.fn.fn.net.0.lora_B"].T / lora.rank
             u = F.gelu(u)
             y = u @ t[f"{p}.1.fn.fn.net.3.weight"].T + \
                 t[f"{p}.1.fn.fn.net.3.bias"]
             y = y + (u @ t[f"{p}.1.fn.fn.net.3.lora_A"].T) @ \
-                t[f"{p}.1.fn.fn.net.3.lora_B"].T / LORA.rank
+                t[f"{p}.1.fn.fn.net.3.lora_B"].T / lora.rank
             x = x + y
-        emb = F.layer_norm(x[:, 0], (CFG.dim,), t["mlp_head.0.weight"],
+        emb = F.layer_norm(x[:, 0], (cfg.dim,), t["mlp_head.0.weight"],
                            t["mlp_head.0.bias"])
         cos = F.linear(F.normalize(emb), F.normalize(t["loss.weight"]))
         onehot = torch.zeros_like(cos)

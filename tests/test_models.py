@@ -180,3 +180,36 @@ def test_attn_impl_bnhd_matches_xla():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ex), np.asarray(eb),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_scan_unroll_preserves_forward_and_grads():
+    """scan_unroll (the round-3 perf lever: full block-unroll on
+    accelerators) must be numerics-preserving: unroll=depth matches the
+    plain scan (unroll=1) in both the forward and the LoRA gradients.
+    Measured bit-exact on TPU (DEVNOTES round 3); guarded here on CPU."""
+    import dataclasses
+    params = _params()
+    x = jax.random.normal(jax.random.key(5), (3, 3, 32, 32))
+    y = jnp.array([1, 2, 3])
+    cfg_scan = dataclasses.replace(CFG, dropout=0.0, emb_dropout=0.0,
+                                   scan_unroll=1)
+    cfg_unrl = dataclasses.replace(cfg_scan, scan_unroll=CFG.depth)
+
+    outs = {}
+    for name, cfg in (("scan", cfg_scan), ("unroll", cfg_unrl)):
+        def loss_fn(lora, cfg=cfg):
+            p = {"base": params["base"], "lora": lora}
+            logits, _ = vit_apply(p, x, y, cfg, LORA, train=False,
+                                  compute_dtype=jnp.float32)
+            lab = jax.nn.one_hot(y, cfg.num_class)
+            return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * lab, -1))
+        val, grads = jax.jit(jax.value_and_grad(loss_fn))(params["lora"])
+        outs[name] = (float(val), grads)
+
+    assert np.isclose(outs["scan"][0], outs["unroll"][0], rtol=1e-6)
+    flat_s = {jax.tree_util.keystr(p): l for p, l in
+              jax.tree_util.tree_leaves_with_path(outs["scan"][1])}
+    for p, leaf in jax.tree_util.tree_leaves_with_path(outs["unroll"][1]):
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_s[jax.tree_util.keystr(p)]),
+            rtol=1e-5, atol=1e-7, err_msg=jax.tree_util.keystr(p))

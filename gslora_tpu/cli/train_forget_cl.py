@@ -52,6 +52,12 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
     test_bs = bs * cfg.data.test_batch_scale
     # static shapes under a mesh / on TPU (see engine.loop auto_pad)
     pad = mesh is not None or jax.default_backend() != "cpu"
+    # uint8 host->device transfer (face path only); shadows the module
+    # import so every loader in this task loop inherits the flag
+    from functools import partial
+    from gslora_tpu.data import pipeline as _pl
+    BatchLoader = partial(_pl.BatchLoader,
+                          uint8_transfer=cfg.data.uint8_transfer)
     if mesh is not None and bs % mesh.shape.get("data", 1) != 0:
         raise ValueError(f"batch_size {bs} not divisible by the mesh "
                          f"data axis ({mesh.shape.get('data', 1)})")

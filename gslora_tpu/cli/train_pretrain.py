@@ -64,10 +64,12 @@ def main(argv=None):
 
     pad = mesh is not None or jax.default_backend() != "cpu"
     loader = BatchLoader(train_ds, cfg.data.batch_size, seed=cfg.data.seed,
-                         mask_padding=pad)
+                         mask_padding=pad,
+                         uint8_transfer=cfg.data.uint8_transfer)
     test_batches = lambda: BatchLoader(  # noqa: E731
         test_ds, cfg.data.batch_size * cfg.data.test_batch_scale,
-        shuffle=False, prefetch=0, mask_padding=pad)
+        shuffle=False, prefetch=0, mask_padding=pad,
+        uint8_transfer=cfg.data.uint8_transfer)
 
     ckpt = BestHCheckpointer(cfg.outdir, name=cfg.net) if cfg.outdir else None
     if ckpt:

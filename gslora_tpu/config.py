@@ -240,6 +240,11 @@ class DataConfig:
     batch_size: int = 256
     test_batch_scale: int = 5  # test loaders use 5x batch (train_own_forget_cl.py:710)
     workers: int = 4
+    # ship batches as uint8 and dequantize inside the jitted step (4x less
+    # host->device traffic, bit-identical forward — BatchLoader docstring).
+    # Only valid for ToTensor-only pipelines (the face path); ImageNet
+    # mean/std streams must keep fp32.
+    uint8_transfer: bool = False
     seed: int = 1337
 
 
@@ -412,6 +417,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "merged-fold bf16 quantization caveat in "
                         "models/vit.py)")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--uint8_transfer", action="store_true",
+                   help="ship batches as uint8, dequantize in the jitted "
+                        "step (4x less H2D; bit-identical forward — "
+                        "face/ToTensor pipelines only)")
     p.add_argument("--scan_unroll", default=0, type=int,
                    help="block-scan unroll: 0=auto (full unroll on "
                         "accelerators — fastest steps, slower first "
@@ -543,6 +552,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
             data_mode=args.data_mode,
             data_root=args.data_root or _DATA_ROOTS.get(args.data_mode, ""),
             batch_size=args.batch_size, seed=args.seed,
+            uint8_transfer=getattr(args, "uint8_transfer", False),
         ),
         mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
         resume=args.resume, outdir=args.outdir,

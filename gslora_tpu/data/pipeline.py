@@ -28,7 +28,8 @@ class BatchLoader:
     def __init__(self, dataset: Dataset, batch_size: int,
                  shuffle: bool = True, seed: int = 1337,
                  pad_to_batch: bool = False, prefetch: int = 2,
-                 drop_last: bool = False, mask_padding: bool = False):
+                 drop_last: bool = False, mask_padding: bool = False,
+                 uint8_transfer: bool = False):
         """The reference keeps ragged last batches (drop_last=False
         everywhere) — same default here. A ragged tail costs one extra XLA
         compile per distinct shape (minutes on tunneled TPUs), so real runs
@@ -38,7 +39,19 @@ class BatchLoader:
         ``mask_padding`` (implies pad_to_batch): padded slots get label -1,
         the sentinel every loss/accuracy reduction in this package masks
         out — static shapes WITHOUT double-weighting wrapped samples. This
-        is the default train/eval path under a device mesh or on TPU."""
+        is the default train/eval path under a device mesh or on TPU.
+
+        ``uint8_transfer``: ship batches as uint8 pixels and dequantize on
+        device (vit_embed casts + /255 inside the jitted step, where XLA
+        fuses it) — 4x less host->device traffic than fp32. The forward
+        is bit-identical to the fp32 path; a full jitted train step
+        matches to fp32 rounding (the extra op shifts XLA fusion —
+        measured max-abs 1e-8 over 2 epochs, test_uint8_transfer).
+        Valid only for ToTensor-only pipelines (face path,
+        train_own.py:287: every pixel is exactly k/255); datasets applying
+        mean/std (ImageNet eval) or float augmentation must keep the fp32
+        default, and the first assembled batch is validated for exact
+        uint8 representability."""
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -47,6 +60,7 @@ class BatchLoader:
         self.mask_padding = mask_padding
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.uint8_transfer = uint8_transfer
         self._epoch = 0
 
     def __len__(self):
@@ -66,7 +80,27 @@ class BatchLoader:
                             dtype=np.int32)
         if self.mask_padding and valid < len(idxs):
             labels[valid:] = -1
+        if self.uint8_transfer:
+            return self._quantize(imgs), labels
         return imgs.astype(np.float32), labels
+
+    def _quantize(self, imgs: np.ndarray) -> np.ndarray:
+        """fp32 (k/255) -> uint8 k, validated exact per batch (cheap next
+        to decode): q/255 in fp32 must reproduce the decoded values
+        bit-for-bit (the dequant vit_embed performs on device)."""
+        if imgs.dtype == np.uint8:
+            return imgs
+        q = np.rint(imgs.astype(np.float32) * 255.0)
+        if (q.min() < 0 or q.max() > 255 or not np.array_equal(
+                q.astype(np.uint8).astype(np.float32) /
+                np.float32(255.0), imgs.astype(np.float32))):
+            raise ValueError(
+                "uint8_transfer requires ToTensor-only pixels (every "
+                "value exactly k/255); this dataset yields values "
+                "outside exact uint8 range (mean/std-normalized or "
+                "float-augmented streams) — use the default float32 "
+                "transfer")
+        return q.astype(np.uint8)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         n = len(self.ds)

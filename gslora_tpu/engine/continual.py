@@ -125,9 +125,11 @@ def run_continual_forgetting(cfg: RunConfig, params, train_ds: Dataset,
             # (cl.py:634-644, batch 500)
             pad = mesh is not None or jax.default_backend() != "cpu"
             pb = list(BatchLoader(data.train_forget, 500, shuffle=False,
-                                  prefetch=0, mask_padding=pad)) + \
+                                  prefetch=0, mask_padding=pad,
+                                  uint8_transfer=cfg.data.uint8_transfer)) + \
                 list(BatchLoader(data.train_remain, 500, shuffle=False,
-                                 prefetch=0, mask_padding=pad))
+                                 prefetch=0, mask_padding=pad,
+                                 uint8_transfer=cfg.data.uint8_transfer))
             protos = calculate_prototypes(params, pb, model, lora,
                                           model.num_class, compute_dtype=cdt,
                                           seed=cfg.data.seed)
@@ -152,7 +154,8 @@ def run_continual_forgetting(cfg: RunConfig, params, train_ds: Dataset,
                 eval_step, params,
                 BatchLoader(test_old, test_bs, shuffle=False, prefetch=0,
                             mask_padding=mesh is not None or
-                            jax.default_backend() != "cpu"))
+                            jax.default_backend() != "cpu",
+                            uint8_transfer=cfg.data.uint8_transfer))
             logger.log({f"Task {task} old Accuracy": old_acc})
         if workdir:
             save_task_checkpoint(

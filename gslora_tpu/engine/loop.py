@@ -117,6 +117,7 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
     # accuracy reduction masks (no double-weighting of wrapped samples).
     # CPU single-device runs keep reference-faithful ragged tails.
     auto_pad = mesh is not None or jax.default_backend() != "cpu"
+    u8 = cfg.data.uint8_transfer
     if mesh is not None:
         dsize = mesh.shape.get("data", 1)
         if cfg.data.batch_size % dsize != 0:
@@ -145,10 +146,11 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
     if fcfg.prototype and protos is None:
         proto_batches = list(BatchLoader(data.train_forget, cfg.data.batch_size,
                                          shuffle=False, prefetch=0,
-                                         mask_padding=auto_pad)) + \
+                                         mask_padding=auto_pad,
+                                         uint8_transfer=u8)) + \
             list(BatchLoader(data.train_remain, cfg.data.batch_size,
                              shuffle=False, prefetch=0,
-                             mask_padding=auto_pad))
+                             mask_padding=auto_pad, uint8_transfer=u8))
         protos = calculate_prototypes(
             params, proto_batches, model, lora, model.num_class,
             compute_dtype=cdt,
@@ -160,15 +162,17 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
     bs = cfg.data.batch_size
     test_bs = bs * cfg.data.test_batch_scale
     loader_f = BatchLoader(data.train_forget, bs, seed=seed,
-                           mask_padding=auto_pad)
+                           mask_padding=auto_pad, uint8_transfer=u8)
     loader_r = BatchLoader(data.train_remain, bs, seed=seed + 1,
-                           mask_padding=auto_pad)
+                           mask_padding=auto_pad, uint8_transfer=u8)
     test_batches_f = lambda: BatchLoader(data.test_forget, test_bs,  # noqa: E731
                                          shuffle=False, prefetch=0,
-                                         mask_padding=auto_pad)
+                                         mask_padding=auto_pad,
+                                         uint8_transfer=u8)
     test_batches_r = lambda: BatchLoader(data.test_remain, test_bs,  # noqa: E731
                                          shuffle=False, prefetch=0,
-                                         mask_padding=auto_pad)
+                                         mask_padding=auto_pad,
+                                         uint8_transfer=u8)
 
     forget_acc_before = eval_accuracy(eval_step, state.params,
                                       test_batches_f())
@@ -206,7 +210,8 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
             oacc = eval_accuracy(
                 eval_step, state.params,
                 BatchLoader(data.test_open, test_bs, shuffle=False,
-                            prefetch=0, mask_padding=auto_pad))
+                            prefetch=0, mask_padding=auto_pad,
+                            uint8_transfer=u8))
         h = h_mean(forget_acc_before, facc, racc, eps=h_eps)
         payload = {"Test forget Accuracy": facc, "Test remain Accuracy": racc,
                    "H_mean": h}

@@ -59,8 +59,12 @@ def calculate_prototypes(params, batches, model: ViTConfig, lora: LoraConfig,
     for x, y in batches:
         x = np.asarray(x)
         if aug is None:
+            # uint8-transfer batches pass straight through (vit_embed
+            # dequantizes on device)
             embs = [np.asarray(embed(jnp.asarray(x)))]
         else:
+            if x.dtype == np.uint8:  # RandAugment works on [0,1] floats
+                x = x.astype(np.float32) / np.float32(255.0)
             embs = [np.asarray(embed(jnp.asarray(aug.apply_batch(x))))
                     for _ in range(aug_repeat)]
         y = np.asarray(y)

@@ -355,6 +355,13 @@ def vit_embed(params: Params, images: jax.Array, model: ViTConfig,
         r_emb, r_blocks = jax.random.split(rng)
 
     if tokens_in is None:
+        if images.dtype == jnp.uint8:
+            # uint8-transfer path (pipeline.BatchLoader(uint8_transfer=
+            # True)): dequantize on device — k/255 in fp32 is the exact
+            # host ToTensor value (train_own.py:287), then the same cast
+            # to compute dtype as the fp32 path; XLA fuses the scale into
+            # the patch-embedding GEMM's input. 4x less H2D traffic.
+            images = images.astype(jnp.float32) / 255.0
         x = patchify(images.astype(cdt), model)
         x = jnp.einsum("bnf,fd->bnd", x, base["patch"]["kernel"].astype(cdt))
         x = x + base["patch"]["bias"].astype(cdt)

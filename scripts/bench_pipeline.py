@@ -125,7 +125,7 @@ def stage_c(ds):
         beta=0.15, alpha=0.01, lr=1e-2, bnd=110.0, bnd_pro=18.0,
         w_pro_f=0.1, w_pro_r=0.1).items()}
 
-    # isolated H2D: one dual-stream float32 batch
+    # isolated H2D: one dual-stream batch, fp32 vs uint8 transfer
     batch = np.random.RandomState(0).rand(2 * BS, 3, 112, 112).astype(
         np.float32)
     mb = batch.nbytes / 1e6
@@ -133,12 +133,19 @@ def stage_c(ds):
     x = jax.device_put(batch)
     float(jnp.sum(x))  # readback sync
     h2d_s = time.perf_counter() - t0
+    b_u8 = np.rint(batch * 255).astype(np.uint8)
+    t0 = time.perf_counter()
+    xu = jax.device_put(b_u8)
+    float(jnp.sum(xu.astype(jnp.float32)))
+    h2d_u8_s = time.perf_counter() - t0
     h2d = {"h2d_mb_per_s": round(mb / h2d_s, 1),
-           "batch_mb": round(mb, 1)}
+           "batch_mb": round(mb, 1),
+           "h2d_uint8_eff_img_rate_x": round(h2d_s / h2d_u8_s, 2)}
 
-    def run_epoch():
+    def run_epoch(u8=False):
         pf = DevicePrefetcher(iter(BatchLoader(ds, 2 * BS, seed=2,
-                                               mask_padding=True)), depth=2)
+                                               mask_padding=True,
+                                               uint8_transfer=u8)), depth=2)
         st, k, last = state, 0, None
         t0 = time.perf_counter()
         for x, y in pf:
@@ -152,7 +159,10 @@ def stage_c(ds):
 
     run_epoch()  # compile warmup epoch
     ips = max(run_epoch() for _ in range(2))
-    return {**h2d, "composed_ips": round(ips, 1)}
+    run_epoch(u8=True)  # uint8-input step variant compiles separately
+    ips_u8 = max(run_epoch(u8=True) for _ in range(2))
+    return {**h2d, "composed_ips": round(ips, 1),
+            "composed_uint8_ips": round(ips_u8, 1)}
 
 
 def main():

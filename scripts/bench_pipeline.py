@@ -125,19 +125,26 @@ def stage_c(ds):
         beta=0.15, alpha=0.01, lr=1e-2, bnd=110.0, bnd_pro=18.0,
         w_pro_f=0.1, w_pro_r=0.1).items()}
 
-    # isolated H2D: one dual-stream batch, fp32 vs uint8 transfer
+    # isolated H2D: one dual-stream batch, fp32 vs uint8 transfer.
+    # Warm the sync kernels + first transfer of each dtype, then take the
+    # best of 3 (the first measurement would otherwise fold a remote
+    # compile into the uint8/fp32 ratio)
     batch = np.random.RandomState(0).rand(2 * BS, 3, 112, 112).astype(
         np.float32)
-    mb = batch.nbytes / 1e6
-    t0 = time.perf_counter()
-    x = jax.device_put(batch)
-    float(jnp.sum(x))  # readback sync
-    h2d_s = time.perf_counter() - t0
     b_u8 = np.rint(batch * 255).astype(np.uint8)
-    t0 = time.perf_counter()
-    xu = jax.device_put(b_u8)
-    float(jnp.sum(xu.astype(jnp.float32)))
-    h2d_u8_s = time.perf_counter() - t0
+    mb = batch.nbytes / 1e6
+
+    def h2d_time(arr, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            x = jax.device_put(arr)
+            float(jnp.sum(x.astype(jnp.float32)))  # readback sync
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    h2d_time(batch, reps=1), h2d_time(b_u8, reps=1)  # warmup
+    h2d_s, h2d_u8_s = h2d_time(batch), h2d_time(b_u8)
     h2d = {"h2d_mb_per_s": round(mb / h2d_s, 1),
            "batch_mb": round(mb, 1),
            "h2d_uint8_eff_img_rate_x": round(h2d_s / h2d_u8_s, 2)}

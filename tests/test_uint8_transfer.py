@@ -123,3 +123,55 @@ def test_forget_loop_uint8_matches_float():
     lb = jax.tree_util.tree_leaves(b.state.params)
     for x, y in zip(la, lb):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_uint8_mesh_dp_equivalence():
+    """uint8 transfer composes with the data-parallel mesh: an 8-device
+    DP run with uint8_transfer matches the single-device fp32 run (same
+    seeds) to all-reduce/reassociation tolerance — certifies sharded
+    device_put of uint8 batches + in-step dequant under shard semantics."""
+    from gslora_tpu.config import MeshConfig
+    from gslora_tpu.engine.loop import ForgetData, run_forget_training
+    from gslora_tpu.parallel.mesh import make_mesh
+
+    def blobs(n_per, classes, seed):
+        r = np.random.RandomState(seed)
+        xs, ys = [], []
+        for c in classes:
+            base = r.rand(1, 3, 16, 16)
+            imgs = np.clip(base + 0.08 * r.randn(n_per, 3, 16, 16), 0, 1)
+            xs.append(np.rint(imgs * 255).astype(np.uint8))
+            ys += [c] * n_per
+        raw = np.concatenate(xs)
+        return ArrayDataset(raw.astype(np.float32) / np.float32(255.0),
+                            np.asarray(ys))
+
+    data = ForgetData(train_forget=blobs(8, [4, 5], 0),
+                      train_remain=blobs(8, [0, 1, 2, 3], 1),
+                      test_forget=blobs(4, [4, 5], 2),
+                      test_remain=blobs(4, [0, 1, 2, 3], 3))
+
+    def cfg(u8):
+        return RunConfig(
+            model=dataclasses.replace(CFG, head_type="Softmax"),
+            lora=LORA,
+            optim=OptimConfig(opt="adamw", lr=1e-3, warmup_epochs=0,
+                              epochs=2),
+            forget=ForgetConfig(bnd=10.0, beta=0.2, alpha=0.01,
+                                alpha_epoch=0),
+            data=DataConfig(batch_size=8, uint8_transfer=u8),
+            num_epoch=2, compute_dtype="float32")
+
+    model = dataclasses.replace(CFG, head_type="Softmax")
+    res_single = run_forget_training(
+        cfg(False), init_vit_params(jax.random.key(1), model, LORA), data,
+        mesh=None)
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    res_u8 = run_forget_training(
+        cfg(True), init_vit_params(jax.random.key(1), model, LORA), data,
+        mesh=mesh)
+    for a, b in zip(jax.tree_util.tree_leaves(res_single.state.lora),
+                    jax.tree_util.tree_leaves(res_u8.state.lora)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    assert abs(res_single.best_h - res_u8.best_h) < 1e-3

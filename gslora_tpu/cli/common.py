@@ -58,13 +58,18 @@ def build_datasets(cfg: RunConfig) -> Tuple[Dataset, Dataset]:
             image_size=cfg.model.image_size, seed=d.seed + 1, noise=1.0)
         return train, test
     imagenet = d.data_mode == "imagenet100"
+    # --uint8_transfer on the ImageNet path: decode stops at raw uint8
+    # (mean/std moves on-device via ViTConfig.input_norm="imagenet").
+    # The face path instead keeps the native float decoder and quantizes
+    # in the loader (exact k/255 round-trip) — see BatchLoader.
+    raw_u8 = imagenet and d.uint8_transfer
     train = ImageFolderDataset(os.path.join(d.data_root, "train"),
                                image_size=cfg.model.image_size,
-                               imagenet_eval=imagenet)
+                               imagenet_eval=imagenet, raw_uint8=raw_u8)
     test = ImageFolderDataset(os.path.join(d.data_root, "test"),
                               image_size=cfg.model.image_size,
                               imagenet_eval=imagenet,
-                              class_order=train.classes)
+                              class_order=train.classes, raw_uint8=raw_u8)
     return train, test
 
 

@@ -67,6 +67,12 @@ class ViTConfig:
     # PARTIAL unroll (1 < N < depth) keeps the loop AND duplicates the
     # body — measured pathological (1337 img/s); avoid.
     scan_unroll: int = 0
+    # device-side input normalization applied ONLY to uint8 inputs
+    # (uint8_transfer path): "none" = ToTensor only (/255 — the face
+    # path), "imagenet" = /255 then the torchvision ImageNet mean/std
+    # (image_iter.py:147-149). fp32 inputs are assumed pre-normalized on
+    # host and pass through untouched.
+    input_norm: str = "none"
 
     @classmethod
     def vit_b16(cls, num_class: int = 100, **overrides) -> "ViTConfig":
@@ -79,7 +85,8 @@ class ViTConfig:
             dim_head=64, mlp_dim=3072, num_class=num_class,
             head_type="Softmax", dropout=0.0, emb_dropout=0.0,
             soft_split=True, ac_patch_size=16, pad=0,
-            qkv_bias=True, attn_scale="dim_head", **overrides)
+            qkv_bias=True, attn_scale="dim_head",
+            input_norm="imagenet", **overrides)
 
     @property
     def num_patches(self) -> int:
@@ -487,6 +494,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
             remat=args.remat,
             scan_unroll=getattr(args, "scan_unroll", 0),
             attn_impl=getattr(args, "attn_impl", "auto"),
+            input_norm="imagenet" if imagenet else "none",
             image_size=224 if imagenet else 112,
             patch_size=16 if imagenet else 8,
             dim=512,

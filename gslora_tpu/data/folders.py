@@ -38,10 +38,16 @@ class ImageFolderDataset(Dataset):
 
     def __init__(self, root: str, image_size: int = 112,
                  imagenet_eval: bool = False,
-                 class_order: Optional[Sequence[str]] = None):
+                 class_order: Optional[Sequence[str]] = None,
+                 raw_uint8: bool = False):
+        """``raw_uint8``: decode stops at uint8 CHW pixels (after any
+        resize/crop) — the uint8_transfer form; normalization (/255 and,
+        for ImageNet, mean/std) then happens ON DEVICE inside the jitted
+        step (vit_embed + ViTConfig.input_norm)."""
         self.root = root
         self.image_size = image_size
         self.imagenet_eval = imagenet_eval
+        self.raw_uint8 = raw_uint8
         classes = class_order if class_order is not None else sorted(
             d for d in os.listdir(root)
             if os.path.isdir(os.path.join(root, d)))
@@ -65,7 +71,7 @@ class ImageFolderDataset(Dataset):
         Falls back to per-image PIL for anything the native path declines
         (resize required, unsupported codec) or when the .so isn't built."""
         idxs = list(idxs)
-        if not self.imagenet_eval:
+        if not self.imagenet_eval and not self.raw_uint8:
             try:
                 from gslora_tpu.native import decode_image_batch
                 res = decode_image_batch(
@@ -94,6 +100,8 @@ class ImageFolderDataset(Dataset):
             # np.stack mid-epoch. Pre-sized images pass through untouched,
             # keeping bit-parity with the native decoder.
             img = img.resize((self.image_size, self.image_size))
+        if self.raw_uint8:  # normalization happens on device (vit_embed)
+            return np.asarray(img, dtype=np.uint8).transpose(2, 0, 1)
         arr = np.asarray(img, dtype=np.float32) / 255.0  # ToTensor
         arr = arr.transpose(2, 0, 1)  # HWC -> CHW
         if self.imagenet_eval:
@@ -186,12 +194,14 @@ class PathListDataset(Dataset):
     used for the missing-class eval over held-out classes with the restored
     1000-way head."""
 
-    def __init__(self, entries, image_size: int = 224):
+    def __init__(self, entries, image_size: int = 224,
+                 raw_uint8: bool = False):
         self.samples = [(p, int(l)) for p, l in entries]
         self.targets = [l for _, l in self.samples]
         self.classes = sorted({str(l) for l in self.targets})
         self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
         self.image_size = image_size
+        self.raw_uint8 = raw_uint8
 
     def decode(self, idx: int) -> np.ndarray:
         from PIL import Image
@@ -199,6 +209,8 @@ class PathListDataset(Dataset):
         img = Image.open(path).convert("RGB")
         img = _resize_short(img, 256)
         img = _center_crop(img, self.image_size)
+        if self.raw_uint8:  # normalization happens on device (vit_embed)
+            return np.asarray(img, np.uint8).transpose(2, 0, 1)
         arr = (np.asarray(img, np.float32) / 255.0).transpose(2, 0, 1)
         mean = np.array([0.485, 0.456, 0.406], np.float32)[:, None, None]
         std = np.array([0.229, 0.224, 0.225], np.float32)[:, None, None]

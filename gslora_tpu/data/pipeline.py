@@ -82,6 +82,12 @@ class BatchLoader:
             labels[valid:] = -1
         if self.uint8_transfer:
             return self._quantize(imgs), labels
+        if imgs.dtype == np.uint8:
+            raise ValueError(
+                "dataset decodes raw uint8 pixels (raw_uint8=True) but "
+                "the loader would ship fp32 without normalizing — pass "
+                "uint8_transfer=True so the jitted step dequantizes "
+                "(vit_embed + ViTConfig.input_norm)")
         return imgs.astype(np.float32), labels
 
     def _quantize(self, imgs: np.ndarray) -> np.ndarray:

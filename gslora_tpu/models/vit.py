@@ -362,6 +362,14 @@ def vit_embed(params: Params, images: jax.Array, model: ViTConfig,
             # to compute dtype as the fp32 path; XLA fuses the scale into
             # the patch-embedding GEMM's input. 4x less H2D traffic.
             images = images.astype(jnp.float32) / 255.0
+            if model.input_norm == "imagenet":
+                # torchvision ImageNet mean/std (image_iter.py:147-149),
+                # same fp32 ops/order as the host transform — exact
+                mean = jnp.asarray([0.485, 0.456, 0.406],
+                                   jnp.float32).reshape(1, 3, 1, 1)
+                std = jnp.asarray([0.229, 0.224, 0.225],
+                                  jnp.float32).reshape(1, 3, 1, 1)
+                images = (images - mean) / std
         x = patchify(images.astype(cdt), model)
         x = jnp.einsum("bnf,fd->bnd", x, base["patch"]["kernel"].astype(cdt))
         x = x + base["patch"]["bias"].astype(cdt)

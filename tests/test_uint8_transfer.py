@@ -175,3 +175,63 @@ def test_uint8_mesh_dp_equivalence():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
     assert abs(res_single.best_h - res_u8.best_h) < 1e-3
+
+
+def test_imagenet_uint8_device_norm_matches_host(tmp_path):
+    """ImageNet path: raw_uint8 decode + device-side mean/std
+    (ViTConfig.input_norm="imagenet") must reproduce the host transform
+    (ImageFolderDataset imagenet_eval decode) exactly, end to end through
+    vit_apply on a B/16-structure config."""
+    from PIL import Image
+    from gslora_tpu.data.folders import ImageFolderDataset
+
+    rng = np.random.RandomState(5)
+    for c in range(2):
+        d = tmp_path / f"n{c:03d}"
+        d.mkdir()
+        for i in range(3):
+            arr = (rng.rand(240, 260, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(str(d / f"{i}.png"))
+
+    ds_f32 = ImageFolderDataset(str(tmp_path), image_size=32,
+                                imagenet_eval=True)
+    ds_u8 = ImageFolderDataset(str(tmp_path), image_size=32,
+                               imagenet_eval=True, raw_uint8=True)
+    (xf, y), = list(BatchLoader(ds_f32, 6, shuffle=False, prefetch=0))[:1]
+    (xu, yu), = list(BatchLoader(ds_u8, 6, shuffle=False, prefetch=0,
+                                 uint8_transfer=True))[:1]
+    assert xu.dtype == np.uint8 and xu.shape == xf.shape
+    np.testing.assert_array_equal(y, yu)
+    # host transform reproduced exactly by (u8/255 - mean)/std in fp32
+    mean = np.array([0.485, 0.456, 0.406], np.float32)[:, None, None]
+    std = np.array([0.229, 0.224, 0.225], np.float32)[:, None, None]
+    np.testing.assert_array_equal(
+        (xu.astype(np.float32) / np.float32(255.0) - mean) / std, xf)
+
+    # through the model: tiny B/16-structure config (input_norm=imagenet)
+    # imagenet_eval decode always yields 224px (the reference's fixed eval
+    # transform) — shrink the model, keep the input size
+    cfg = dataclasses.replace(ViTConfig.vit_b16(num_class=4),
+                              depth=2, dim=64, heads=4, dim_head=16,
+                              mlp_dim=128)
+    assert cfg.input_norm == "imagenet"
+    params = init_vit_params(jax.random.key(0), cfg, LoraConfig(rank=0))
+    lg_f, _ = vit_apply(params, jnp.asarray(xf), jnp.asarray(y), cfg,
+                        LoraConfig(rank=0), train=False,
+                        compute_dtype=jnp.float32)
+    lg_u, _ = vit_apply(params, jnp.asarray(xu), jnp.asarray(y), cfg,
+                        LoraConfig(rank=0), train=False,
+                        compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(lg_f), np.asarray(lg_u))
+
+
+def test_raw_uint8_without_flag_is_rejected():
+    """A raw_uint8 dataset fed through a default fp32 loader would skip
+    normalization silently — the loader must refuse."""
+    from gslora_tpu.data.folders import PathListDataset
+    ds = ArrayDataset(np.zeros((4, 3, 16, 16), np.float32),
+                      np.zeros(4, np.int64))
+    ds.images = np.zeros((4, 3, 16, 16), np.uint8)  # simulate raw u8
+    with pytest.raises(ValueError, match="raw_uint8"):
+        next(iter(BatchLoader(ds, 4, shuffle=False, prefetch=0)))
+    del PathListDataset

@@ -239,6 +239,12 @@ class AugmentedDataset(Dataset):
 
     def decode(self, idx: int) -> np.ndarray:
         base = self.parent.decode(idx % len(self.parent))
+        if base.dtype == np.uint8:
+            raise ValueError(
+                "AugmentedDataset over a raw_uint8 parent would mix uint8 "
+                "clean copies with float augmented ones and skip device "
+                "normalization — use a float-decoding parent (augmented "
+                "streams are not uint8-representable)")
         copy_id = idx // len(self.parent)
         if copy_id == 0:
             return base

@@ -75,7 +75,8 @@ def main(argv=None):
     # combined forget + remain training stream (backbone_forget_main.py)
     from gslora_tpu.data.folders import ConcatDataset
     combined = ConcatDataset(forget_tr, remain_tr)
-    loader = BatchLoader(combined, cfg.data.batch_size, seed=cfg.data.seed)
+    loader = BatchLoader(combined, cfg.data.batch_size, seed=cfg.data.seed,
+                         uint8_transfer=cfg.data.uint8_transfer)
 
     params = build_params(cfg)
     opt = make_optimizer(cfg.optim)
@@ -95,10 +96,12 @@ def main(argv=None):
                             jnp.float32(lr), sub)
         forget_curve.append(eval_accuracy(
             eval_step, state.params,
-            BatchLoader(forget_te, test_bs, shuffle=False, prefetch=0)))
+            BatchLoader(forget_te, test_bs, shuffle=False, prefetch=0,
+                        uint8_transfer=cfg.data.uint8_transfer)))
         remain_curve.append(eval_accuracy(
             eval_step, state.params,
-            BatchLoader(remain_te, test_bs, shuffle=False, prefetch=0)))
+            BatchLoader(remain_te, test_bs, shuffle=False, prefetch=0,
+                        uint8_transfer=cfg.data.uint8_transfer)))
 
     # only the head moved
     backbone_same = np.array_equal(

@@ -36,6 +36,7 @@ def main(argv=None):
     correct = total = 0
     per_class = defaultdict(lambda: [0, 0])
     for x, y in BatchLoader(test_ds, cfg.data.batch_size, shuffle=False,
+                            uint8_transfer=cfg.data.uint8_transfer,
                             prefetch=0):
         pred = np.asarray(predict(jnp.asarray(x), jnp.asarray(y)))
         for p, t in zip(pred, y):

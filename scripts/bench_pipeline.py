@@ -98,9 +98,11 @@ def stage_b(ds):
             "device_prefetcher_ips": round(dev_ips, 1)}
 
 
-def stage_c(ds):
-    """Composed: BatchLoader -> DevicePrefetcher -> jitted flagship forget
-    step, one epoch, honest final readback; plus isolated H2D rate."""
+def stage_c(ds, ds_u8=None, model=None, bs=None):
+    """Composed: BatchLoader -> DevicePrefetcher -> jitted forget step
+    (flagship face model by default; --b16 passes the ViT-B/16 config and
+    raw-uint8 ImageNet datasets), one epoch, honest final readback; plus
+    isolated H2D rate."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -112,7 +114,9 @@ def stage_c(ds):
     from gslora_tpu.data.pipeline import BatchLoader, DevicePrefetcher
     from __graft_entry__ import _flagship_configs
 
-    model, lora, fcfg = _flagship_configs()
+    model_d, lora, fcfg = _flagship_configs()
+    if model is None:
+        model = model_d
     params = init_vit_params(jax.random.key(0), model, lora,
                              param_dtype=jnp.bfloat16)
     opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-2))
@@ -125,12 +129,13 @@ def stage_c(ds):
         beta=0.15, alpha=0.01, lr=1e-2, bnd=110.0, bnd_pro=18.0,
         w_pro_f=0.1, w_pro_r=0.1).items()}
 
+    bsz = bs or BS
     # isolated H2D: one dual-stream batch, fp32 vs uint8 transfer.
     # Warm the sync kernels + first transfer of each dtype, then take the
     # best of 3 (the first measurement would otherwise fold a remote
     # compile into the uint8/fp32 ratio)
-    batch = np.random.RandomState(0).rand(2 * BS, 3, 112, 112).astype(
-        np.float32)
+    batch = np.random.RandomState(0).rand(
+        2 * bsz, 3, model.image_size, model.image_size).astype(np.float32)
     b_u8 = np.rint(batch * 255).astype(np.uint8)
     mb = batch.nbytes / 1e6
 
@@ -150,7 +155,8 @@ def stage_c(ds):
            "h2d_uint8_eff_img_rate_x": round(h2d_s / h2d_u8_s, 2)}
 
     def run_epoch(u8=False):
-        pf = DevicePrefetcher(iter(BatchLoader(ds, 2 * BS, seed=2,
+        src = ds_u8 if (u8 and ds_u8 is not None) else ds
+        pf = DevicePrefetcher(iter(BatchLoader(src, 2 * bsz, seed=2,
                                                mask_padding=True,
                                                uint8_transfer=u8)), depth=2)
         st, k, last = state, 0, None
@@ -177,17 +183,30 @@ def main():
     ap.add_argument("--stage", default="all", choices=["a", "b", "c", "all"])
     ap.add_argument("--n", type=int, default=2000)
     ap.add_argument("--root", default="/tmp/pipeline_bench_folder")
+    ap.add_argument("--b16", action="store_true",
+                    help="stage c on the ViT-B/16 ImageNet path (224px "
+                         "JPEGs, imagenet_eval transform; the uint8 "
+                         "variant exercises raw_uint8 decode + on-device "
+                         "mean/std via ViTConfig.input_norm)")
     args = ap.parse_args()
 
     from gslora_tpu.data.folders import ImageFolderDataset
-    build_folder(args.root, args.n)
-    ds = ImageFolderDataset(args.root, image_size=112)
+    if args.b16:
+        root = args.root + "_b16"
+        build_folder(root, min(args.n, 480), image_size=224, classes=20)
+        ds = ImageFolderDataset(root, image_size=224, imagenet_eval=True)
+        ds_u8 = ImageFolderDataset(root, image_size=224, imagenet_eval=True,
+                                   raw_uint8=True)
+    else:
+        build_folder(args.root, args.n)
+        ds = ImageFolderDataset(args.root, image_size=112)
+        ds_u8 = None
 
     out = {}
-    if args.stage in ("a", "all"):
+    if args.stage in ("a", "all") and not args.b16:
         out["decode"] = stage_a(ds, args.n)
         print(json.dumps({"decode": out["decode"]}), flush=True)
-    if args.stage in ("b", "all"):
+    if args.stage in ("b", "all") and not args.b16:
         out["feed"] = stage_b(ds)
         print(json.dumps({"feed": out["feed"]}), flush=True)
     if args.stage in ("c", "all"):
@@ -195,8 +214,18 @@ def main():
         setup_jax_runtime()
         import jax
         jax.config.update("jax_default_prng_impl", "rbg")
-        out["composed"] = stage_c(ds)
-        print(json.dumps({"composed": out["composed"]}), flush=True)
+        if args.b16:
+            import dataclasses
+            from gslora_tpu.config import ViTConfig
+            model = dataclasses.replace(ViTConfig.vit_b16(num_class=100),
+                                        scan_unroll=12)
+            out["composed_b16"] = stage_c(ds, ds_u8=ds_u8, model=model,
+                                          bs=24)
+            print(json.dumps({"composed_b16": out["composed_b16"]}),
+                  flush=True)
+        else:
+            out["composed"] = stage_c(ds)
+            print(json.dumps({"composed": out["composed"]}), flush=True)
     print(json.dumps(out), flush=True)
 
 

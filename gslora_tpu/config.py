@@ -67,6 +67,16 @@ class ViTConfig:
     # PARTIAL unroll (1 < N < depth) keeps the loop AND duplicates the
     # body — measured pathological (1337 img/s); avoid.
     scan_unroll: int = 0
+    # dropout mask generation: "uniform" = jax.random.bernoulli (uniform
+    # fp32 compare — the default), "bits16" = raw RBG words bitcast to
+    # uint16 lanes compared against round(keep * 2^16) (half the
+    # generator bandwidth, no int->float conversion; keep-probability
+    # quantization error <= 2^-17). Measured WORSE on v5e at the bench
+    # optimum (2995 vs 3650 img/s, b24 u6): the flat bitcast->reshape->
+    # slice chain materializes the mask instead of fusing, and dropout
+    # is nearly free there anyway (nodrop 3701 = +0.18 ms/step) — kept
+    # only as a documented negative result / option
+    dropout_impl: str = "uniform"
     # device-side input normalization applied ONLY to uint8 inputs
     # (uint8_transfer path): "none" = ToTensor only (/255 — the face
     # path), "imagenet" = /255 then the torchvision ImageNet mean/std
@@ -434,6 +444,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "compile), 1=plain scan (fastest compile)")
     p.add_argument("--attn_impl", default="auto", type=str,
                    choices=["auto", "xla", "pallas", "dpa", "bnhd"])
+    p.add_argument("--dropout_impl", default="uniform", type=str,
+                   choices=["uniform", "bits16"],
+                   help="dropout mask generator: uniform fp32 compare or "
+                        "raw uint16 RBG lanes (cheaper on TPU; keep-prob "
+                        "quantized at 2^-16)")
     p.add_argument("--profile_dir", default="", type=str,
                    help="write a jax.profiler trace of the run here "
                         "(TensorBoard-viewable)")
@@ -488,11 +503,13 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         model = ViTConfig.vit_b16(
             num_class=100, remat=args.remat,
             scan_unroll=getattr(args, "scan_unroll", 0),
+            dropout_impl=getattr(args, "dropout_impl", "uniform"),
             attn_impl=getattr(args, "attn_impl", "auto"))
     else:
         model = ViTConfig(
             remat=args.remat,
             scan_unroll=getattr(args, "scan_unroll", 0),
+            dropout_impl=getattr(args, "dropout_impl", "uniform"),
             attn_impl=getattr(args, "attn_impl", "auto"),
             input_norm="imagenet" if imagenet else "none",
             image_size=224 if imagenet else 112,

@@ -118,11 +118,25 @@ def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
 
 
-def _dropout(x: jax.Array, rate: float, rng, deterministic: bool) -> jax.Array:
+def _dropout(x: jax.Array, rate: float, rng, deterministic: bool,
+             impl: str = "uniform") -> jax.Array:
     if deterministic or rate == 0.0 or rng is None:
         return x
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
+    if impl == "bits16":
+        # mask-generation cost dominates dropout on TPU (the FFN-hidden
+        # mask is (b, n, mlp_dim) per layer): draw HALF as many 32-bit
+        # RBG words, view them as uint16 lanes, and keep iff
+        # lane < round(keep * 2^16) — P(keep) quantized to 2^-16
+        # granularity (error <= 2^-17; the uniform-fp32 compare path is
+        # itself quantized at 2^-24), no int->float conversion
+        n = x.size
+        words = jax.random.bits(rng, ((n + 1) // 2,), dtype=jnp.uint32)
+        lanes = jax.lax.bitcast_convert_type(words, jnp.uint16)
+        thresh = jnp.uint16(min(65535, int(round(keep * 65536.0))))
+        mask = (lanes.reshape(-1)[:n] < thresh).reshape(x.shape)
+    else:
+        mask = jax.random.bernoulli(rng, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
@@ -193,7 +207,8 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
                          blk["attn_out"]["kernel"].astype(cdt))
         out = out + blk["attn_out"]["bias"].astype(cdt)
         out = _dropout(out, model.dropout,
-                       rngs[0] if rngs is not None else None, deterministic)
+                       rngs[0] if rngs is not None else None, deterministic,
+                       impl=model.dropout_impl)
         return x + out
     if impl == "skip":
         # ABLATION ONLY (perf lab): bypass scores/softmax/AV, keep the
@@ -202,7 +217,8 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
                          blk["attn_out"]["kernel"].astype(cdt))
         out = out + blk["attn_out"]["bias"].astype(cdt)
         out = _dropout(out, model.dropout,
-                       rngs[0] if rngs is not None else None, deterministic)
+                       rngs[0] if rngs is not None else None, deterministic,
+                       impl=model.dropout_impl)
         return x + out
     if impl == "bnhd":
         # head-trailing layout: q/k/v stay (b, n, h, d) — a free reshape of
@@ -220,7 +236,8 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
                          blk["attn_out"]["kernel"].astype(cdt))
         out = out + blk["attn_out"]["bias"].astype(cdt)
         out = _dropout(out, model.dropout,
-                       rngs[0] if rngs is not None else None, deterministic)
+                       rngs[0] if rngs is not None else None, deterministic,
+                       impl=model.dropout_impl)
         return x + out
     q = rearrange(q, "b n (h d) -> b h n d", d=hd)
     k = rearrange(k, "b n (h d) -> b h n d", d=hd)
@@ -238,7 +255,7 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
     out = jnp.einsum("bni,id->bnd", out, blk["attn_out"]["kernel"].astype(cdt))
     out = out + blk["attn_out"]["bias"].astype(cdt)
     out = _dropout(out, model.dropout, rngs[0] if rngs is not None else None,
-                   deterministic)
+                   deterministic, impl=model.dropout_impl)
     return x + out
 
 
@@ -256,14 +273,14 @@ def _ffn_block(x, blk, lora_blk, model: ViTConfig, scaling: float, rngs,
                            scaling)
     u = jax.nn.gelu(u.astype(jnp.float32), approximate=False).astype(cdt)
     u = _dropout(u, model.dropout, rngs[1] if rngs is not None else None,
-                 deterministic)
+                 deterministic, impl=model.dropout_impl)
     y = jnp.einsum("bnm,md->bnd", u, blk["fc2"]["kernel"].astype(cdt))
     y = y + blk["fc2"]["bias"].astype(cdt)
     if lora_blk is not None and "ffn" in lora_blk:
         y = y + lora_delta(u, lora_blk["ffn"]["A2"], lora_blk["ffn"]["B2"],
                            scaling)
     y = _dropout(y, model.dropout, rngs[2] if rngs is not None else None,
-                 deterministic)
+                 deterministic, impl=model.dropout_impl)
     return x + y
 
 
@@ -378,7 +395,8 @@ def vit_embed(params: Params, images: jax.Array, model: ViTConfig,
                                (b, 1, model.dim))
         x = jnp.concatenate([cls, x], axis=1)
         x = x + base["pos_embed"].astype(cdt)[None, : x.shape[1]]
-        x = _dropout(x, model.emb_dropout, r_emb, deterministic)
+        x = _dropout(x, model.emb_dropout, r_emb, deterministic,
+                     impl=model.dropout_impl)
     else:
         x = tokens_in.astype(cdt)
 

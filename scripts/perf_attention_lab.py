@@ -15,8 +15,8 @@ import dataclasses
 import json
 import time
 
-STEP_GFLOP_PER_IMG = 24.0  # analytic 3x fwd (BASELINE.md derivation)
-CEILING_TFLOPS = 67.0  # observed v5e bf16 ceiling on this tunnel (DEVNOTES)
+STEP_GFLOP_PER_IMG = 21.3  # compiled-step accounting (BASELINE.md round 3)
+CEILING_TFLOPS = 161.0  # re-probed v5e roof (scripts/roofline_probe, round 3)
 
 
 def measure(model, lora, fcfg, bs: int, k: int, lora_apply: str = "merged",
@@ -107,6 +107,8 @@ def main():
         m = dataclasses.replace(model, attn_impl=impl,
                                 remat="remat" in parts[1:],
                                 scan_unroll=unroll,
+                                dropout_impl=("bits16" if "bits" in parts[1:]
+                                              else "uniform"),
                                 **({"dropout": 0.0, "emb_dropout": 0.0}
                                    if nodrop else {}))
         try:

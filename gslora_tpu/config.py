@@ -67,6 +67,14 @@ class ViTConfig:
     # PARTIAL unroll (1 < N < depth) keeps the loop AND duplicates the
     # body — measured pathological (1337 img/s); avoid.
     scan_unroll: int = 0
+    # projection-GEMM implementation: "default" = compute-dtype einsum
+    # (bf16 on TPU -> MXU), "int8" = W8A8 dynamic quantization of the
+    # qkv/attn_out/fc1/fc2/patch GEMMs (ops/quant.py) — the v5e MXU runs
+    # int8 at ~2x bf16 (measured 302.9 TOPS vs the 161 TF/s roof,
+    # scripts/roofline_probe --int8). EVAL/SERVING ONLY: rounding has
+    # zero gradient, so vit_embed refuses it under train=True. Beyond-
+    # reference capability (the reference serves fp32 torch eval)
+    gemm_impl: str = "default"
     # dropout mask generation: "uniform" = jax.random.bernoulli (uniform
     # fp32 compare — the default), "bits16" = raw RBG words bitcast to
     # uint16 lanes compared against round(keep * 2^16) (half the
@@ -444,6 +452,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "compile), 1=plain scan (fastest compile)")
     p.add_argument("--attn_impl", default="auto", type=str,
                    choices=["auto", "xla", "pallas", "dpa", "bnhd"])
+    p.add_argument("--gemm_impl", default="default", type=str,
+                   choices=["default", "int8"],
+                   help="projection GEMMs: compute-dtype einsum or W8A8 "
+                        "dynamic int8 (~2x MXU rate on v5e; eval/serving "
+                        "drivers only — training refuses it)")
     p.add_argument("--dropout_impl", default="uniform", type=str,
                    choices=["uniform", "bits16"],
                    help="dropout mask generator: uniform fp32 compare or "
@@ -504,12 +517,14 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
             num_class=100, remat=args.remat,
             scan_unroll=getattr(args, "scan_unroll", 0),
             dropout_impl=getattr(args, "dropout_impl", "uniform"),
+            gemm_impl=getattr(args, "gemm_impl", "default"),
             attn_impl=getattr(args, "attn_impl", "auto"))
     else:
         model = ViTConfig(
             remat=args.remat,
             scan_unroll=getattr(args, "scan_unroll", 0),
             dropout_impl=getattr(args, "dropout_impl", "uniform"),
+            gemm_impl=getattr(args, "gemm_impl", "default"),
             attn_impl=getattr(args, "attn_impl", "auto"),
             input_norm="imagenet" if imagenet else "none",
             image_size=224 if imagenet else 112,

@@ -118,6 +118,17 @@ def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
 
 
+def _proj(x: jax.Array, kernel: jax.Array, model: ViTConfig) -> jax.Array:
+    """x @ kernel for the transformer's projection GEMMs, dispatched on
+    ``model.gemm_impl``: "default" = compute-dtype einsum (bf16 on TPU ->
+    MXU); "int8" = W8A8 dynamic quantization (ops/quant.py — ~2x MXU rate
+    on v5e, eval-only)."""
+    if model.gemm_impl == "int8":
+        from gslora_tpu.ops.quant import int8_linear
+        return int8_linear(x, kernel, out_dtype=x.dtype)
+    return jnp.einsum("...k,kn->...n", x, kernel.astype(x.dtype))
+
+
 def _dropout(x: jax.Array, rate: float, rng, deterministic: bool,
              impl: str = "uniform") -> jax.Array:
     if deterministic or rate == 0.0 or rng is None:
@@ -168,7 +179,7 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
     cdt = x.dtype
     h = _layer_norm(x, blk["attn_ln"]["scale"], blk["attn_ln"]["bias"])
     h = h.astype(cdt)
-    qkv = jnp.einsum("bnd,df->bnf", h, blk["qkv"]["kernel"].astype(cdt))
+    qkv = _proj(h, blk["qkv"]["kernel"], model)
     if "bias" in blk["qkv"]:
         qkv = qkv + blk["qkv"]["bias"].astype(cdt)
     if lora_blk is not None and "attn" in lora_blk:
@@ -203,8 +214,7 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
             q.reshape(b, n, -1, hd), k.reshape(b, n, -1, hd),
             v.reshape(b, n, -1, hd), scale=scale)
         out = o.reshape(b, n, -1)
-        out = jnp.einsum("bni,id->bnd", out,
-                         blk["attn_out"]["kernel"].astype(cdt))
+        out = _proj(out, blk["attn_out"]["kernel"], model)
         out = out + blk["attn_out"]["bias"].astype(cdt)
         out = _dropout(out, model.dropout,
                        rngs[0] if rngs is not None else None, deterministic,
@@ -213,8 +223,7 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
     if impl == "skip":
         # ABLATION ONLY (perf lab): bypass scores/softmax/AV, keep the
         # projection GEMMs — isolates the attention-einsum+softmax cost
-        out = jnp.einsum("bni,id->bnd", v,
-                         blk["attn_out"]["kernel"].astype(cdt))
+        out = _proj(v, blk["attn_out"]["kernel"], model)
         out = out + blk["attn_out"]["bias"].astype(cdt)
         out = _dropout(out, model.dropout,
                        rngs[0] if rngs is not None else None, deterministic,
@@ -232,8 +241,7 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
         dots = jnp.einsum("bihd,bjhd->bhij", qh, kh) * scale
         attn = jax.nn.softmax(dots.astype(jnp.float32), axis=-1).astype(cdt)
         out = jnp.einsum("bhij,bjhd->bihd", attn, vh).reshape(b, n, -1)
-        out = jnp.einsum("bni,id->bnd", out,
-                         blk["attn_out"]["kernel"].astype(cdt))
+        out = _proj(out, blk["attn_out"]["kernel"], model)
         out = out + blk["attn_out"]["bias"].astype(cdt)
         out = _dropout(out, model.dropout,
                        rngs[0] if rngs is not None else None, deterministic,
@@ -252,7 +260,7 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
         attn = jax.nn.softmax(dots.astype(jnp.float32), axis=-1).astype(cdt)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = rearrange(out, "b h n d -> b n (h d)")
-    out = jnp.einsum("bni,id->bnd", out, blk["attn_out"]["kernel"].astype(cdt))
+    out = _proj(out, blk["attn_out"]["kernel"], model)
     out = out + blk["attn_out"]["bias"].astype(cdt)
     out = _dropout(out, model.dropout, rngs[0] if rngs is not None else None,
                    deterministic, impl=model.dropout_impl)
@@ -266,7 +274,7 @@ def _ffn_block(x, blk, lora_blk, model: ViTConfig, scaling: float, rngs,
     cdt = x.dtype
     h = _layer_norm(x, blk["ffn_ln"]["scale"], blk["ffn_ln"]["bias"])
     h = h.astype(cdt)
-    u = jnp.einsum("bnd,dm->bnm", h, blk["fc1"]["kernel"].astype(cdt))
+    u = _proj(h, blk["fc1"]["kernel"], model)
     u = u + blk["fc1"]["bias"].astype(cdt)
     if lora_blk is not None and "ffn" in lora_blk:
         u = u + lora_delta(h, lora_blk["ffn"]["A1"], lora_blk["ffn"]["B1"],
@@ -274,7 +282,7 @@ def _ffn_block(x, blk, lora_blk, model: ViTConfig, scaling: float, rngs,
     u = jax.nn.gelu(u.astype(jnp.float32), approximate=False).astype(cdt)
     u = _dropout(u, model.dropout, rngs[1] if rngs is not None else None,
                  deterministic, impl=model.dropout_impl)
-    y = jnp.einsum("bnm,md->bnd", u, blk["fc2"]["kernel"].astype(cdt))
+    y = _proj(u, blk["fc2"]["kernel"], model)
     y = y + blk["fc2"]["bias"].astype(cdt)
     if lora_blk is not None and "ffn" in lora_blk:
         y = y + lora_delta(u, lora_blk["ffn"]["A2"], lora_blk["ffn"]["B2"],
@@ -358,6 +366,11 @@ def vit_embed(params: Params, images: jax.Array, model: ViTConfig,
     identity). Keep fp32 base params (the default) when using "merged" for
     accuracy-critical runs.
     """
+    if train and model.gemm_impl == "int8":
+        # int8 rounding has zero gradient — training would silently see
+        # dead gradients through every projection; refuse at trace time
+        raise ValueError("gemm_impl='int8' is an inference/serving path; "
+                         "train with the default bf16 GEMMs")
     base = params["base"]
     lora_tree = params.get("lora", {})
     if lora_tree and lora_apply == "merged":
@@ -388,7 +401,7 @@ def vit_embed(params: Params, images: jax.Array, model: ViTConfig,
                                   jnp.float32).reshape(1, 3, 1, 1)
                 images = (images - mean) / std
         x = patchify(images.astype(cdt), model)
-        x = jnp.einsum("bnf,fd->bnd", x, base["patch"]["kernel"].astype(cdt))
+        x = _proj(x, base["patch"]["kernel"], model)
         x = x + base["patch"]["bias"].astype(cdt)
         b = x.shape[0]
         cls = jnp.broadcast_to(base["cls_token"].astype(cdt),

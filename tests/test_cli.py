@@ -27,6 +27,7 @@ def _tiny_model(monkeypatch):
                 image_size=16, patch_size=8, dim=32,
                 depth=args.vit_depth, heads=2, dim_head=16, mlp_dim=64,
                 num_class=8, dropout=0.0, emb_dropout=0.0,
+                gemm_impl=getattr(args, "gemm_impl", "default"),
                 head_type=args.head)
         return cfg
 
@@ -178,3 +179,17 @@ def test_train_pretrain_cli_ver_targets(tmp_path):
               (tmp_path / "metrics.jsonl").read_text().splitlines()]
     keys = {k for rec in logged for k in rec}
     assert "lfw_Accuracy" in keys and "lfw_Best_Threshold" in keys
+
+
+def test_test_model_cli_int8_serving(tmp_path):
+    """--gemm_impl int8 through the eval harness: W8A8 serving accuracy
+    must track the fp32 eval on a trained checkpoint."""
+    from gslora_tpu.cli import test_model, train_pretrain
+    train_pretrain.main(_common_args(tmp_path, ["-e", "2", "--lr", "3e-3"]))
+    ckpts = sorted(tmp_path.glob("*.msgpack"))
+    assert ckpts
+    rep32 = test_model.main(_common_args(tmp_path, ["-r", str(ckpts[-1])]))
+    rep8 = test_model.main(_common_args(tmp_path, [
+        "-r", str(ckpts[-1]), "--gemm_impl", "int8",
+    ]))
+    assert abs(rep8["test_acc"] - rep32["test_acc"]) <= 2.0, (rep8, rep32)

@@ -95,11 +95,10 @@ def main(argv=None):
     # does not recompile (a fresh closure per eval would retrace each time)
     @jax.jit
     def _embed(params_now, x):
-        _, emb = vit_apply(params_now, x, jnp.zeros((x.shape[0],),
-                                                    jnp.int32),
-                           cfg.model, cfg.lora, train=False,
-                           compute_dtype=cdt)
-        return emb
+        # labels=None -> embedding-only forward: keeps the head matmul +
+        # margin math out of the compiled verification graph entirely
+        return vit_apply(params_now, x, None, cfg.model, cfg.lora,
+                         train=False, compute_dtype=cdt)
 
     def run_verification(params_now, batch):
         if not ver_sets:

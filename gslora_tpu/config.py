@@ -13,6 +13,16 @@ from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
 
+# torchvision ImageNet normalization constants (reference
+# image_iter.py:147-149). SINGLE SOURCE for the host transform
+# (data/folders.py), the device-side uint8 dequant-normalize
+# (models/vit.py input_norm) and prototype augmentation
+# (engine/prototypes.py) — the uint8-transfer exact-parity contract
+# requires every site to use identical fp32 constants.
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
 # ---------------------------------------------------------------------------
 # model / lora
 # ---------------------------------------------------------------------------
@@ -97,14 +107,19 @@ class ViTConfig:
         """torchvision vit_b_16 parity configuration (modified_VIT.py:5-39):
         conv patchify (kernel=stride=16, pad=0 — expressed as soft_split,
         which yields the conv's channel-major feature layout), qkv bias ON,
-        standard head-dim attention scale, no dropout, plain Linear head."""
+        standard head-dim attention scale, no dropout, plain Linear head.
+
+        ``input_norm`` defaults to "imagenet" (the torchvision recipe) but
+        is overridable: a VIT_B16 run on a ToTensor-only pipeline (face
+        data) must pass input_norm="none" so the uint8-transfer device
+        dequant matches what the host fp32 path actually applies."""
+        overrides.setdefault("input_norm", "imagenet")
         return cls(
             image_size=224, patch_size=16, dim=768, depth=12, heads=12,
             dim_head=64, mlp_dim=3072, num_class=num_class,
             head_type="Softmax", dropout=0.0, emb_dropout=0.0,
             soft_split=True, ac_patch_size=16, pad=0,
-            qkv_bias=True, attn_scale="dim_head",
-            input_norm="imagenet", **overrides)
+            qkv_bias=True, attn_scale="dim_head", **overrides)
 
     @property
     def num_patches(self) -> int:
@@ -267,8 +282,9 @@ class DataConfig:
     workers: int = 4
     # ship batches as uint8 and dequantize inside the jitted step (4x less
     # host->device traffic, bit-identical forward — BatchLoader docstring).
-    # Only valid for ToTensor-only pipelines (the face path); ImageNet
-    # mean/std streams must keep fp32.
+    # Supported for ToTensor-only pipelines (face path: device does /255)
+    # AND ImageNet pipelines (datasets switch to raw_uint8 decode; the
+    # mean/std normalization moves on-device via ViTConfig.input_norm).
     uint8_transfer: bool = False
     seed: int = 1337
 
@@ -444,8 +460,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true")
     p.add_argument("--uint8_transfer", action="store_true",
                    help="ship batches as uint8, dequantize in the jitted "
-                        "step (4x less H2D; bit-identical forward — "
-                        "face/ToTensor pipelines only)")
+                        "step (4x less H2D; bit-identical forward). Face "
+                        "pipelines dequantize k/255; ImageNet pipelines "
+                        "decode raw uint8 and normalize on device")
     p.add_argument("--scan_unroll", default=0, type=int,
                    help="block-scan unroll: 0=auto (full unroll on "
                         "accelerators — fastest steps, slower first "
@@ -518,7 +535,12 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
             scan_unroll=getattr(args, "scan_unroll", 0),
             dropout_impl=getattr(args, "dropout_impl", "uniform"),
             gemm_impl=getattr(args, "gemm_impl", "default"),
-            attn_impl=getattr(args, "attn_impl", "auto"))
+            attn_impl=getattr(args, "attn_impl", "auto"),
+            # device-side normalization must mirror what the host
+            # transform applies: ImageNet data normalizes, the face
+            # pipeline is ToTensor-only — otherwise --uint8_transfer on
+            # VIT_B16+casia would shift inputs vs the fp32 path
+            input_norm="imagenet" if imagenet else "none")
     else:
         model = ViTConfig(
             remat=args.remat,

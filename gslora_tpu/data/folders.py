@@ -13,6 +13,8 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from gslora_tpu.config import IMAGENET_MEAN, IMAGENET_STD
+
 IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".webp")
 
 
@@ -105,8 +107,8 @@ class ImageFolderDataset(Dataset):
         arr = np.asarray(img, dtype=np.float32) / 255.0  # ToTensor
         arr = arr.transpose(2, 0, 1)  # HWC -> CHW
         if self.imagenet_eval:
-            mean = np.array([0.485, 0.456, 0.406], np.float32)[:, None, None]
-            std = np.array([0.229, 0.224, 0.225], np.float32)[:, None, None]
+            mean = np.array(IMAGENET_MEAN, np.float32)[:, None, None]
+            std = np.array(IMAGENET_STD, np.float32)[:, None, None]
             arr = (arr - mean) / std
         return arr
 
@@ -212,8 +214,8 @@ class PathListDataset(Dataset):
         if self.raw_uint8:  # normalization happens on device (vit_embed)
             return np.asarray(img, np.uint8).transpose(2, 0, 1)
         arr = (np.asarray(img, np.float32) / 255.0).transpose(2, 0, 1)
-        mean = np.array([0.485, 0.456, 0.406], np.float32)[:, None, None]
-        std = np.array([0.229, 0.224, 0.225], np.float32)[:, None, None]
+        mean = np.array(IMAGENET_MEAN, np.float32)[:, None, None]
+        std = np.array(IMAGENET_STD, np.float32)[:, None, None]
         return (arr - mean) / std
 
 

@@ -47,11 +47,13 @@ class BatchLoader:
         is bit-identical to the fp32 path; a full jitted train step
         matches to fp32 rounding (the extra op shifts XLA fusion —
         measured max-abs 1e-8 over 2 epochs, test_uint8_transfer).
-        Valid only for ToTensor-only pipelines (face path,
-        train_own.py:287: every pixel is exactly k/255); datasets applying
-        mean/std (ImageNet eval) or float augmentation must keep the fp32
-        default, and the first assembled batch is validated for exact
-        uint8 representability."""
+        Valid for ToTensor-only pipelines (face path, train_own.py:287:
+        every pixel is exactly k/255) and for raw_uint8 datasets whose
+        mean/std runs on device (ImageNet via ViTConfig.input_norm);
+        datasets applying mean/std or float augmentation ON HOST must
+        keep the fp32 default. EVERY assembled fp32 batch is validated
+        for exact uint8 representability (a rint round-trip per batch —
+        cheap next to decode; raw uint8 batches skip it)."""
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle

@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gslora_tpu.config import LoraConfig, ViTConfig
+from gslora_tpu.config import (IMAGENET_MEAN, IMAGENET_STD, LoraConfig,
+                               ViTConfig)
 from gslora_tpu.models.vit import vit_apply
 
 import functools
@@ -54,19 +55,33 @@ def calculate_prototypes(params, batches, model: ViTConfig, lora: LoraConfig,
         from gslora_tpu.data.randaugment import RandAugment
         aug = RandAugment(num_ops=2, magnitude=aug_magnitude, seed=seed)
 
+    mean = np.asarray(IMAGENET_MEAN, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(IMAGENET_STD, np.float32).reshape(1, 3, 1, 1)
+    renorm = model.input_norm == "imagenet"
     sums = np.zeros((num_classes, model.dim), np.float64)
     counts = np.zeros((num_classes,), np.int64)
     for x, y in batches:
         x = np.asarray(x)
         if aug is None:
             # uint8-transfer batches pass straight through (vit_embed
-            # dequantizes on device)
+            # dequantizes + input_norm-normalizes on device)
             embs = [np.asarray(embed(jnp.asarray(x)))]
         else:
-            if x.dtype == np.uint8:  # RandAugment works on [0,1] floats
+            # RandAugment operates on [0,1] pixels (the reference augments
+            # PIL images BEFORE ToTensor+Normalize, util/utils.py:508-523),
+            # and vit_embed treats fp32 input as fully host-normalized —
+            # so: get to pixel space, augment, re-apply the model's norm.
+            if x.dtype == np.uint8:
                 x = x.astype(np.float32) / np.float32(255.0)
-            embs = [np.asarray(embed(jnp.asarray(aug.apply_batch(x))))
-                    for _ in range(aug_repeat)]
+            elif renorm:
+                # host-normalized ImageNet fp32 -> back to pixel space
+                x = x * std + mean
+            embs = []
+            for _ in range(aug_repeat):
+                v = aug.apply_batch(x)
+                if renorm:
+                    v = (v - mean) / std
+                embs.append(np.asarray(embed(jnp.asarray(v))))
         y = np.asarray(y)
         keep = y >= 0  # drop mask_padding sentinel slots
         yk = y[keep]

@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 from einops import rearrange
 
-from gslora_tpu.config import LoraConfig, ViTConfig
+from gslora_tpu.config import (IMAGENET_MEAN, IMAGENET_STD, LoraConfig,
+                               ViTConfig)
 from gslora_tpu.lora.core import init_lora, lora_delta
 from gslora_tpu.models.heads import apply_head
 from gslora_tpu.utils.inits import kaiming_uniform, lecun_linear_bias, \
@@ -395,9 +396,9 @@ def vit_embed(params: Params, images: jax.Array, model: ViTConfig,
             if model.input_norm == "imagenet":
                 # torchvision ImageNet mean/std (image_iter.py:147-149),
                 # same fp32 ops/order as the host transform — exact
-                mean = jnp.asarray([0.485, 0.456, 0.406],
+                mean = jnp.asarray(IMAGENET_MEAN,
                                    jnp.float32).reshape(1, 3, 1, 1)
-                std = jnp.asarray([0.229, 0.224, 0.225],
+                std = jnp.asarray(IMAGENET_STD,
                                   jnp.float32).reshape(1, 3, 1, 1)
                 images = (images - mean) / std
         x = patchify(images.astype(cdt), model)

@@ -2,8 +2,9 @@
 
 The ImageNet-100 path (reference modified_VIT.py:5-39 +
 scripts/run_cl_forget_image.sh: torchvision ViT-B/16, 224 px, rank-8 FFN
-LoRA) got none of the P8S8 optimization discipline in rounds 1-2 — 714
-img/s ~= 37.5 TF/s ~= 56% of the observed 67 TF/s tunnel ceiling. This lab
+LoRA) got none of the P8S8 optimization discipline in rounds 1-2 (714
+img/s at the round-2 start; 1005 img/s = 94 TF/s = 58% of the corrected
+161 TF/s roof after the scan-unroll campaign — BASELINE.md). This lab
 runs the same ablation grid on the FULL forget train step at dim 768:
 
   batch sweep (16/24/32/48 per stream), fused_batch on/off, dropout
@@ -22,9 +23,12 @@ import argparse
 import dataclasses
 import json
 
-# ViT-B/16 @224: ~17.5 GFLOP fwd/img (standard ViT-B figure; 12 blocks of
-# d=768/mlp=3072 at 197 tokens) -> 3x for the train step.
-B16_GFLOP_PER_IMG = 52.5
+# ViT-B/16 @224 merged LoRA train step: ~93.7 GFLOP/img (XLA cost
+# analysis via scripts/flops_analysis — fwd ~35.1 GFLOP/img; the
+# literature's "17.6 GFLOPs" counts MACs). Round 2 used 52.5 (3x a
+# MAC-based fwd guess); corrected with the round-3 FLOP audit so the
+# lab's achieved_tflops/mfu agree with BASELINE.md/DEVNOTES.
+B16_GFLOP_PER_IMG = 93.7
 
 
 def main():

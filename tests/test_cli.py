@@ -193,3 +193,23 @@ def test_test_model_cli_int8_serving(tmp_path):
         "-r", str(ckpts[-1]), "--gemm_impl", "int8",
     ]))
     assert abs(rep8["test_acc"] - rep32["test_acc"]) <= 2.0, (rep8, rep32)
+
+
+def test_vit_b16_input_norm_follows_data_mode():
+    """Regression (round-3 review): VIT_B16 on face data must not apply
+    device-side ImageNet mean/std the host fp32 path never applies; the
+    vit_b16 constructor must accept an input_norm override."""
+    from gslora_tpu.config import ViTConfig, build_parser, config_from_args
+
+    # constructor override reachable (used to TypeError: duplicate kwarg)
+    assert ViTConfig.vit_b16(num_class=5).input_norm == "imagenet"
+    assert ViTConfig.vit_b16(num_class=5,
+                             input_norm="none").input_norm == "none"
+
+    p = build_parser()
+    cfg_img = config_from_args(p.parse_args(
+        ["-n", "VIT_B16", "-d", "imagenet100"]))
+    assert cfg_img.model.input_norm == "imagenet"
+    cfg_face = config_from_args(p.parse_args(
+        ["-n", "VIT_B16", "-d", "casia100"]))
+    assert cfg_face.model.input_norm == "none"

@@ -99,3 +99,50 @@ def test_prototypes_with_randaugment():
     a = np.asarray(auged).ravel()
     corr = np.corrcoef(c, a)[0, 1]
     assert corr > 0.8, f"prototype correlation collapsed: {corr}"
+
+
+def test_prototypes_aug_normalization_parity():
+    """Regression (round-3 review): augmented prototypes on the ImageNet
+    uint8-transfer path must see the SAME input distribution the fp32
+    host-normalized path sees — dequantizing /255 without the model's
+    input_norm silently fed un-normalized pixels to the embed."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from gslora_tpu.config import (IMAGENET_MEAN, IMAGENET_STD, LoraConfig,
+                                   ViTConfig)
+    from gslora_tpu.engine.prototypes import calculate_prototypes
+    from gslora_tpu.models.vit import init_vit_params
+
+    model = dataclasses.replace(
+        ViTConfig.vit_b16(num_class=4), image_size=32, depth=2, dim=32,
+        heads=2, dim_head=16, mlp_dim=64)
+    assert model.input_norm == "imagenet"
+    lora = LoraConfig(rank=0)
+    params = init_vit_params(jax.random.key(0), model, lora)
+
+    rng = np.random.RandomState(0)
+    pix = rng.randint(0, 256, (8, 3, 32, 32)).astype(np.uint8)
+    y = np.arange(8) % 4
+    mean = np.asarray(IMAGENET_MEAN, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(IMAGENET_STD, np.float32).reshape(1, 3, 1, 1)
+    xf = (pix.astype(np.float32) / np.float32(255.0) - mean) / std
+
+    kw = dict(compute_dtype=jnp.float32, aug_repeat=3, seed=7,
+              aug_magnitude=5)
+    p_u8 = np.asarray(calculate_prototypes(
+        params, [(pix, y)], model, lora, 4, **kw))
+    p_f32 = np.asarray(calculate_prototypes(
+        params, [(xf, y)], model, lora, 4, **kw))
+    # same RandAugment seed, same pixel space -> near-identical (the fp32
+    # path round-trips denormalize/renormalize, fp rounding only)
+    np.testing.assert_allclose(p_u8, p_f32, rtol=0, atol=5e-4)
+
+    # and the normalized-aug path must NOT equal the broken un-normalized
+    # one (pixels fed straight to embed)
+    base_model = dataclasses.replace(model, input_norm="none")
+    p_raw = np.asarray(calculate_prototypes(
+        params, [(pix, y)], base_model, lora, 4, **kw))
+    assert not np.allclose(p_u8, p_raw, atol=1e-3)

@@ -3,7 +3,12 @@
 One jitted step per method (reference per-method loops in
 baselines/Lwftrain.py, DERtrain.py, FDRtrain.py share this shape):
 student CE on the relabeled forget batch + a teacher-anchored term on a
-cycled remain batch, teacher frozen at task start.
+cycled remain batch. The teacher is the ORIGINAL pretrained model: the
+reference deepcopies it ONCE before the CL task loop
+(train_own_forget_cl.py:453-476, loop at :515), so callers running multiple
+tasks must pass the same pretrained ``teacher_params`` into every task (the
+CL driver does) — anchoring task t to the task t-1 student would change
+the objective.
 
 Loss terms reproduced exactly:
 * DER   (DERtrain.py:12-16):  ||emb_r - emb_teacher_r||_2^2  (SUM of squares)
@@ -116,6 +121,23 @@ def make_distill_step(method: str, model: ViTConfig, lora: LoraConfig,
     return step
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_distill_step(method: str, model, lora, optim_cfg, hp_items,
+                         cdt, faithful: bool):
+    """(optimizer, jitted step) cached per configuration: a multi-task CL
+    run otherwise rebuilds the closure per task and pays a fresh XLA
+    compile each time (minutes on tunneled TPUs — same pattern as
+    engine.loop._cached_step). Keys are frozen dataclasses / scalars."""
+    from gslora_tpu.engine.state import make_optimizer
+    opt = make_optimizer(optim_cfg)
+    step = make_distill_step(method, model, lora, opt, dict(hp_items),
+                             compute_dtype=cdt, faithful_zero_kd=faithful)
+    return opt, step
+
+
 def run_distill_task(cfg: RunConfig, params, teacher_params,
                      forget_loader_factory: Callable, remain_cycler,
                      test_batches_f: Callable, test_batches_r: Callable,
@@ -126,7 +148,6 @@ def run_distill_task(cfg: RunConfig, params, teacher_params,
     """One task of LwF/DER/DER++/FDR: iterate the relabeled forget loader,
     cycle remain batches via ``remain_cycler.next()``."""
     from gslora_tpu.engine.loop import _dtype
-    from gslora_tpu.engine.state import make_optimizer
     from gslora_tpu.metrics.logging import MetricLogger
 
     method = (method or cfg.baseline.method).lower()
@@ -140,11 +161,10 @@ def run_distill_task(cfg: RunConfig, params, teacher_params,
     put_params, put_batch = placement(mesh)
     params = put_params(params)
     teacher_params = put_params(teacher_params)
-    opt = make_optimizer(cfg.optim)
+    opt, step = _cached_distill_step(method, cfg.model, cfg.lora, cfg.optim,
+                                     tuple(sorted(hp.items())), cdt,
+                                     b.lwf_faithful_zero_kd)
     state = PretrainState.create(params, opt)
-    step = make_distill_step(method, cfg.model, cfg.lora, opt, hp,
-                             compute_dtype=cdt,
-                             faithful_zero_kd=b.lwf_faithful_zero_kd)
     eval_step = make_eval_step(cfg.model, cfg.lora, compute_dtype=cdt)
 
     facc_before = eval_accuracy(eval_step, state.params, test_batches_f())

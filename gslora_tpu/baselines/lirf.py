@@ -7,9 +7,20 @@ token sequence, vit_face.py:638-665) and up (remaining blocks + head,
 here the split is a ``layer_range`` slice over the stacked block params —
 no model surgery:
 
-  student_low, deposit_low : trainable low-half trees
-  teacher (low+up)         : frozen full tree; its upper half and head score
-                             everything
+  student_low : trainable low-half subtree (patch/cls/pos + low blocks) —
+                the reference optimizer covers ONLY student_model_low
+                (create_optimizer(args, BACKBONE) with BACKBONE =
+                student_model_low, train_own_forget_cl.py:811, :418)
+  deposit_low : FROZEN low-half subtree — the reference never puts
+                deposit_model_low in any optimizer, so it stays at the
+                pretrained weights; its KD/CE term (loss_pt_re) is logged
+                but has zero gradient w.r.t. anything trainable
+  teacher (low+up) : frozen full tree; its upper half and head score
+                     everything
+
+All four live ACROSS CL tasks (created once from the pretrained checkpoint
+before the reference's task loop, cl.py:330-422, loop at :515) — the CL
+driver threads the returned carry into the next task.
 
 Per step over the RELABELED forget loader (cycling remain):
   L = CE(student)·(1-alpha) - 300·AT(student_mid, teacher_mid)
@@ -20,6 +31,7 @@ Per step over the RELABELED forget loader (cycling remain):
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -41,10 +53,20 @@ from flax import struct
 
 @struct.dataclass
 class LIRFState:
-    student_low: Any
-    deposit_low: Any
-    opt_state: Any
+    student_low: Any  # trainable low-half subtree
+    deposit_low: Any  # frozen low-half subtree (not in the optimizer)
+    opt_state: Any  # covers student_low ONLY
     step: jax.Array
+
+
+def low_slice(tree, half: int):
+    """The ViT_face_low parameter subset (vit_face.py:638-665): patch
+    embedding + CLS + pos-embed + the first ``half`` blocks. Slicing the
+    stacked-layer tree keeps optimizer state (and weight decay) scoped to
+    exactly what the reference trains."""
+    return {"patch": tree["patch"], "cls_token": tree["cls_token"],
+            "pos_embed": tree["pos_embed"],
+            "blocks": jax.tree.map(lambda a: a[:half], tree["blocks"])}
 
 
 def _low_tokens(tree, x, model, lora, *, train, rng, cdt):
@@ -69,8 +91,7 @@ def make_lirf_step(model: ViTConfig, lora: LoraConfig, optimizer,
                    compute_dtype=jnp.bfloat16):
     cdt = compute_dtype
 
-    def loss_fn(trainable, teacher, xf, yf, xr, yr, rng):
-        student_low, deposit_low = trainable
+    def loss_fn(student_low, deposit_low, teacher, xf, yf, xr, yr, rng):
         r1, r2, r3 = jax.random.split(rng, 3)
         s_mid = _low_tokens(student_low, xf, model, lora, train=True, rng=r1,
                             cdt=cdt)
@@ -105,19 +126,30 @@ def make_lirf_step(model: ViTConfig, lora: LoraConfig, optimizer,
 
     @jax.jit
     def step(state: LIRFState, teacher, xf, yf, xr, yr, lr, rng):
-        trainable = (state.student_low, state.deposit_low)
+        # gradient w.r.t. student_low ONLY: the reference optimizer covers
+        # just student_model_low (cl.py:811); deposit stays pretrained
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            trainable, teacher, xf, yf, xr, yr, rng)
+            state.student_low, state.deposit_low, teacher, xf, yf, xr, yr,
+            rng)
         opt_state = _with_lr(state.opt_state, lr)
-        updates, opt_state = optimizer.update(grads, opt_state, trainable)
-        s, d = optax.apply_updates(trainable, updates)
-        return LIRFState(student_low=s, deposit_low=d, opt_state=opt_state,
-                         step=state.step + 1), metrics
+        updates, opt_state = optimizer.update(grads, opt_state,
+                                              state.student_low)
+        s = optax.apply_updates(state.student_low, updates)
+        return LIRFState(student_low=s, deposit_low=state.deposit_low,
+                         opt_state=opt_state, step=state.step + 1), metrics
 
     return step
 
 
-import functools
+@functools.lru_cache(maxsize=8)
+def _cached_lirf_step(model, lora, optim_cfg, split, T, alpha, cdt):
+    """(optimizer, jitted step) cached per configuration — multi-task runs
+    re-use the compiled step (opt state is re-initialized per task like the
+    reference's re-created optimizer, cl.py:811)."""
+    from gslora_tpu.engine.state import make_optimizer
+    opt = make_optimizer(optim_cfg)
+    return opt, make_lirf_step(model, lora, opt, split=split, T=T,
+                               alpha=alpha, compute_dtype=cdt)
 
 
 @functools.lru_cache(maxsize=8)
@@ -161,34 +193,49 @@ def run_lirf_task(cfg: RunConfig, params, forget_loader_factory: Callable,
                   remain_cycler, test_batches_f: Callable,
                   test_batches_r: Callable, logger=None,
                   num_epoch: Optional[int] = None,
-                  mesh=None) -> Dict[str, Any]:
+                  test_batches_open: Optional[Callable] = None,
+                  mesh=None, carry: Optional[Dict[str, Any]] = None
+                  ) -> Dict[str, Any]:
+    """One LIRF task. ``carry``: cross-task state dict with keys
+    ``teacher``/``student_low``/``deposit_low`` — the reference builds all
+    four models ONCE from the pretrained checkpoint before the CL task
+    loop (cl.py:330-422) and the student keeps training across tasks, so
+    multi-task callers must thread the returned values back in (the CL
+    driver does). ``carry=None`` builds them from ``params`` (single-task
+    setup). The optimizer state is re-initialized per task either way
+    ("create again to reinitialize optimizer", cl.py:811-815)."""
     from gslora_tpu.engine.loop import _dtype
-    from gslora_tpu.engine.state import make_optimizer
     from gslora_tpu.metrics.logging import MetricLogger
     from gslora_tpu.parallel.mesh import placement
 
     cdt = _dtype(cfg)
     logger = logger or MetricLogger()
     put_params, put_batch = placement(mesh)
-    params = put_params(params)
     b = cfg.baseline
-    teacher = params["base"]
-    if params.get("lora"):
-        # LIRF operates on a plain backbone (the reference's baselines run
-        # lora_rank 0); when handed a LoRA-carrying model, the deployable
-        # teacher is the MERGED model — dropping the adapters would start
-        # from a silently degraded teacher
-        from gslora_tpu.engine.ema import merged_params
-        teacher = merged_params(teacher, params["lora"], cfg.lora.scaling)
-    student_low = jax.tree.map(lambda x: x, teacher)
-    deposit_low = jax.tree.map(lambda x: x, teacher)
-    opt = make_optimizer(cfg.optim)
+    half = cfg.model.depth // 2
+    if carry is not None:
+        teacher = put_params(carry["teacher"])
+        student_low = put_params(carry["student_low"])
+        deposit_low = put_params(carry["deposit_low"])
+    else:
+        params = put_params(params)
+        teacher = params["base"]
+        if params.get("lora"):
+            # LIRF operates on a plain backbone (the reference's baselines
+            # run lora_rank 0); when handed a LoRA-carrying model, the
+            # deployable teacher is the MERGED model — dropping the
+            # adapters would start from a silently degraded teacher
+            from gslora_tpu.engine.ema import merged_params
+            teacher = merged_params(teacher, params["lora"],
+                                    cfg.lora.scaling)
+        student_low = low_slice(teacher, half)
+        deposit_low = low_slice(teacher, half)
+    opt, step = _cached_lirf_step(cfg.model, cfg.lora, cfg.optim,
+                                  cfg.forget.per_forget_cls, b.lirf_T,
+                                  b.lirf_alpha, cdt)
     state = LIRFState(student_low=student_low, deposit_low=deposit_low,
-                      opt_state=opt.init((student_low, deposit_low)),
+                      opt_state=opt.init(student_low),
                       step=jnp.int32(0))
-    step = make_lirf_step(cfg.model, cfg.lora, opt,
-                          split=cfg.forget.per_forget_cls, T=b.lirf_T,
-                          alpha=b.lirf_alpha, compute_dtype=cdt)
 
     facc_before = lirf_eval_accuracy(teacher, state.student_low,
                                      test_batches_f(), cfg.model, cfg.lora,
@@ -222,7 +269,10 @@ def run_lirf_task(cfg: RunConfig, params, forget_loader_factory: Callable,
         racc = lirf_eval_accuracy(teacher, state.student_low,
                                   test_batches_r(), cfg.model, cfg.lora, cdt)
         best_h = max(best_h, h_mean(facc_before, facc, racc, eps=1e-8))
+    oacc = lirf_eval_accuracy(teacher, state.student_low,
+                              test_batches_open(), cfg.model, cfg.lora,
+                              cdt) if test_batches_open else None
     return {"student_low": state.student_low,
             "deposit_low": state.deposit_low, "teacher": teacher,
             "forget_acc_before": facc_before, "forget_acc": facc,
-            "remain_acc": racc, "best_h": best_h}
+            "remain_acc": racc, "open_acc": oacc, "best_h": best_h}

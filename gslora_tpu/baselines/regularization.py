@@ -61,6 +61,21 @@ def make_reg_step(model: ViTConfig, lora: LoraConfig, optimizer, n_terms: int,
     return step
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_reg_step(model, lora, optim_cfg, n_terms: int, cdt):
+    """(optimizer, jitted step) cached per configuration (same pattern as
+    engine.loop._cached_step): retrain/replay and same-n_terms tasks reuse
+    the compiled step instead of paying a fresh XLA compile per task.
+    (EWC/MAS tasks grow n_terms, whose penalty structure is static — those
+    recompile by necessity.)"""
+    from gslora_tpu.engine.state import make_optimizer
+    opt = make_optimizer(optim_cfg)
+    return opt, make_reg_step(model, lora, opt, n_terms, compute_dtype=cdt)
+
+
 def estimate_importance(method: str, params, batches, model: ViTConfig,
                         lora: LoraConfig, compute_dtype=jnp.bfloat16):
     """Importance pytree for one task (train_own_forget_cl.py:1425-1569)."""
@@ -122,7 +137,6 @@ def run_regularization_task(cfg: RunConfig, params, train_loader_factory,
     ``mesh``: optional device mesh — params replicate, batches shard over
     the ``data`` axis (parallel.mesh.placement)."""
     from gslora_tpu.engine.loop import _dtype
-    from gslora_tpu.engine.state import make_optimizer
     from gslora_tpu.metrics.logging import MetricLogger
     from gslora_tpu.parallel.mesh import placement
 
@@ -132,10 +146,9 @@ def run_regularization_task(cfg: RunConfig, params, train_loader_factory,
     params = put_params(params)
     anchors = [put_params(a) for a in anchors]
     importances = [put_params(i) for i in importances]
-    opt = make_optimizer(cfg.optim)
+    opt, step = _cached_reg_step(cfg.model, cfg.lora, cfg.optim,
+                                 len(anchors), cdt)
     state = PretrainState.create(params, opt)
-    step = make_reg_step(cfg.model, cfg.lora, opt, len(anchors),
-                         compute_dtype=cdt)
     eval_step = make_eval_step(cfg.model, cfg.lora, compute_dtype=cdt)
     anchors_t = tuple(anchors)
     imps_t = tuple(importances)

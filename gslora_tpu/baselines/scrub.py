@@ -8,7 +8,8 @@ followed by a MIN pass over remain (gamma*CE + alpha*KD + sgda); the last 5
 run the MIN pass only. After each superepoch the SWA model absorbs the
 student: swa <- 0.9*swa + 0.1*student (first update copies — torch
 AveragedModel semantics). The sgda optimizer (SGD by default) uses step-decay
-LR (util/sgda_utils.py:7-19).
+LR (util/sgda_utils.py:7-19). Teacher and SWA live ACROSS tasks (created
+once before the reference's CL task loop) — see run_scrub_task.
 """
 from __future__ import annotations
 
@@ -99,16 +100,41 @@ def make_scrub_steps(model: ViTConfig, lora: LoraConfig, optimizer,
     return make(max_loss), make(min_loss)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_scrub_steps(model, lora, optim_cfg, kd_T, smoothing, gamma,
+                        alpha, cdt):
+    """(optimizer, max_step, min_step) cached per configuration so a
+    multi-task CL run re-uses the compiled steps (the reference re-creates
+    only the optimizer per task, cl.py:811 — the cached optimizer object is
+    pure, so re-initializing its state per task is equivalent)."""
+    from gslora_tpu.engine.state import make_optimizer
+    opt = make_optimizer(optim_cfg)
+    mx, mn = make_scrub_steps(model, lora, opt, kd_T, smoothing, gamma,
+                              alpha, compute_dtype=cdt)
+    return opt, mx, mn
+
+
 def run_scrub_task(cfg: RunConfig, params, forget_loader_factory: Callable,
                    remain_loader_factory: Callable,
                    test_batches_f: Callable, test_batches_r: Callable,
                    logger=None,
                    test_batches_open: Optional[Callable] = None,
-                   mesh=None) -> Dict[str, Any]:
-    """Full SCRUB task: cfg.baseline.scrub_superepoch superepochs."""
+                   mesh=None, teacher=None, swa=None,
+                   n_averaged: int = 0) -> Dict[str, Any]:
+    """Full SCRUB task: cfg.baseline.scrub_superepoch superepochs.
+
+    ``teacher``/``swa``/``n_averaged``: cross-task state. The reference
+    creates the teacher AND the SWA AveragedModel ONCE before the CL task
+    loop (train_own_forget_cl.py:441-451, loop at :515), so multi-task
+    callers must thread the returned ``teacher``/``swa``/``n_averaged``
+    into the next task (the CL driver does). Defaults (None/0) reproduce
+    the single-task setup: teacher = entry params, first SWA update
+    copies."""
     from gslora_tpu.engine.loop import _dtype
     from gslora_tpu.config import OptimConfig
-    from gslora_tpu.engine.state import make_optimizer
     from gslora_tpu.metrics.logging import MetricLogger
     from gslora_tpu.parallel.mesh import placement
 
@@ -117,17 +143,18 @@ def run_scrub_task(cfg: RunConfig, params, forget_loader_factory: Callable,
     logger = logger or MetricLogger()
     put_params, put_batch = placement(mesh)
     params = put_params(params)
-    # the sgda optimizer replaces the main one (cl.py:860-879)
-    opt = make_optimizer(OptimConfig(
-        opt=b.sgda_optim, lr=b.sgda_learning_rate,
-        momentum=b.sgda_momentum, weight_decay=b.sgda_weight_decay))
+    # the sgda optimizer replaces the main one (cl.py:860-879); its state
+    # is re-initialized per task like the reference's re-created optimizer
+    opt, max_step, min_step = _cached_scrub_steps(
+        cfg.model, cfg.lora,
+        OptimConfig(opt=b.sgda_optim, lr=b.sgda_learning_rate,
+                    momentum=b.sgda_momentum,
+                    weight_decay=b.sgda_weight_decay),
+        b.kd_T, b.sgda_smoothing, b.sgda_gamma, b.sgda_alpha, cdt)
     state = PretrainState.create(params, opt)
-    teacher = jax.tree.map(lambda x: x, params)  # frozen copy
-    swa = params
-    n_averaged = 0
-    max_step, min_step = make_scrub_steps(
-        cfg.model, cfg.lora, opt, b.kd_T, b.sgda_smoothing, b.sgda_gamma,
-        b.sgda_alpha, compute_dtype=cdt)
+    teacher = put_params(teacher) if teacher is not None \
+        else jax.tree.map(lambda x: x, params)  # frozen copy
+    swa = put_params(swa) if swa is not None else params
     eval_step = make_eval_step(cfg.model, cfg.lora, compute_dtype=cdt)
 
     facc_before = eval_accuracy(eval_step, state.params, test_batches_f())
@@ -162,6 +189,7 @@ def run_scrub_task(cfg: RunConfig, params, forget_loader_factory: Callable,
     racc = eval_accuracy(eval_step, state.params, test_batches_r())
     oacc = eval_accuracy(eval_step, state.params, test_batches_open()) \
         if test_batches_open else None
-    return {"params": state.params, "swa": swa,
+    return {"params": state.params, "swa": swa, "teacher": teacher,
+            "n_averaged": n_averaged,
             "forget_acc_before": facc_before, "forget_acc": facc,
             "remain_acc": racc, "open_acc": oacc, "best_h": best_h}

@@ -26,6 +26,13 @@ def main(argv=None):
     cdt = _dtype(cfg)
     _, test_ds = build_datasets(cfg)
     params = build_params(cfg)
+    if cfg.data.data_mode == "imagenet100":
+        # a resumed 1000-way torchvision head must be sliced to the run's
+        # classes exactly like the training drivers (modify_head flow,
+        # train_own_forget_cl.py:180-296) — evaluating the full head
+        # against local labels would silently report ~0%
+        from gslora_tpu.cli.common import prepare_imagenet_head
+        params, _ = prepare_imagenet_head(cfg, params, test_ds)
 
     @jax.jit
     def predict(x, y):
@@ -35,11 +42,17 @@ def main(argv=None):
 
     correct = total = 0
     per_class = defaultdict(lambda: [0, 0])
+    # static batch shapes on accelerators: a ragged tail would compile a
+    # second executable (minutes on tunneled TPUs); pad rows carry the -1
+    # label sentinel and are skipped below
+    pad = jax.default_backend() != "cpu"
     for x, y in BatchLoader(test_ds, cfg.data.batch_size, shuffle=False,
                             uint8_transfer=cfg.data.uint8_transfer,
-                            prefetch=0):
+                            mask_padding=pad, prefetch=0):
         pred = np.asarray(predict(jnp.asarray(x), jnp.asarray(y)))
         for p, t in zip(pred, y):
+            if t < 0:  # pad sentinel
+                continue
             per_class[int(t)][1] += 1
             total += 1
             if p == t:

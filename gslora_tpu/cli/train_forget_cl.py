@@ -65,6 +65,13 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
     anchors, importances = [], []
     lam = {"l2": b.l2_lambda, "ewc": b.ewc_lambda,
            "mas": b.mas_lambda}.get(method, 0.0)
+    # cross-task state: the reference creates the distill/SCRUB teacher,
+    # the SWA model and the four LIRF models ONCE before the task loop
+    # (train_own_forget_cl.py:330-476, loop at :515) — every task anchors
+    # to the ORIGINAL pretrained model, not the previous task's student
+    pretrained = params
+    scrub_swa, scrub_teacher, scrub_n_avg = None, None, 0
+    lirf_carry = None
 
     for task in range(f.num_tasks):
         open_te = None
@@ -158,7 +165,9 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
                 test_batches_open=tbo, mesh=mesh)
             params = out["params"]
         elif method in ("lwf", "der", "der_plus", "fdr"):
-            out = run_distill_task(cfg, params, params, lambda: iter(fl),
+            # teacher = the pretrained model, every task (cl.py:453-476)
+            out = run_distill_task(cfg, params, pretrained,
+                                   lambda: iter(fl),
                                    CyclingLoader(rl), tbf, tbr,
                                    logger=logger, test_batches_open=tbo,
                                    mesh=mesh)
@@ -169,17 +178,30 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
                                   mask_padding=pad)
             out = run_scrub_task(cfg, params, lambda: iter(fl_true),
                                  lambda: iter(rl), tbf, tbr, logger=logger,
-                                 test_batches_open=tbo, mesh=mesh)
+                                 test_batches_open=tbo, mesh=mesh,
+                                 teacher=(scrub_teacher if scrub_teacher
+                                          is not None else pretrained),
+                                 swa=scrub_swa, n_averaged=scrub_n_avg)
             params = out["params"]
+            # SWA/teacher persist across tasks (cl.py:441-451)
+            scrub_teacher = out["teacher"]
+            scrub_swa = out["swa"]
+            scrub_n_avg = out["n_averaged"]
         elif method == "lirf":
             out = run_lirf_task(cfg, params, lambda: iter(fl),
                                 CyclingLoader(rl), tbf, tbr, logger=logger,
-                                mesh=mesh)
-            # LIRF's deployable model is teacher_up(student_low)
+                                test_batches_open=tbo, mesh=mesh,
+                                carry=lirf_carry)
+            lirf_carry = {"teacher": out["teacher"],
+                          "student_low": out["student_low"],
+                          "deposit_low": out["deposit_low"]}
+            # LIRF's deployable model is teacher_up(student_low); the
+            # student is the low-half SUBTREE (its block stack has depth//2
+            # layers — baselines.lirf.low_slice)
             base = dict(out["teacher"])
             half = cfg.model.depth // 2
             merged_blocks = jax.tree.map(
-                lambda s, t: t.at[:half].set(s[:half]),
+                lambda s, t: t.at[:half].set(s),
                 out["student_low"]["blocks"], base["blocks"])
             base["blocks"] = merged_blocks
             for k in ("patch", "cls_token", "pos_embed"):
@@ -277,6 +299,7 @@ def main(argv=None):
             "task": t.task, "forget_acc_before": t.result.forget_acc_before,
             "forget_acc": t.result.forget_acc,
             "remain_acc": t.result.remain_acc, "old_acc": t.old_acc,
+            "open_acc": t.open_acc,
             "best_H_mean": t.result.best_h, "norm_list": t.result.norm_list,
             "time_to_forget_s": round(t.result.wallclock_s, 2),
         } for t in out.tasks]

@@ -55,9 +55,9 @@ def main(argv=None):
     params = put_params(params)
 
     opt = make_optimizer(cfg.optim)
-    state = PretrainState.create(params, opt)
     # lora-only pretraining when a rank is set AND resuming a base ckpt
     lora_only = cfg.lora.rank > 0 and bool(cfg.resume)
+    state = PretrainState.create(params, opt, lora_only=lora_only)
     step = make_pretrain_step(cfg.model, cfg.lora, opt, compute_dtype=cdt,
                               lora_only=lora_only)
     eval_step = make_eval_step(cfg.model, cfg.lora, compute_dtype=cdt)

@@ -189,6 +189,22 @@ class ConcatDataset(Dataset):
             return self.a.decode(idx)
         return self.b.decode(idx - len(self.a))
 
+    def decode_batch(self, idxs: Sequence[int]) -> np.ndarray:
+        """Route index sub-ranges to each parent's decode_batch so their
+        batched fast paths (C++ thread-pool decode) survive concatenation
+        — the inherited per-image fallback would drop them on the Replay
+        hot path."""
+        na = len(self.a)
+        pos_a = [(j, i) for j, i in enumerate(idxs) if i < na]
+        pos_b = [(j, i - na) for j, i in enumerate(idxs) if i >= na]
+        out: List = [None] * len(list(idxs))
+        for pairs, ds in ((pos_a, self.a), (pos_b, self.b)):
+            if pairs:
+                batch = ds.decode_batch([i for _, i in pairs])
+                for (j, _), arr in zip(pairs, batch):
+                    out[j] = arr
+        return np.stack(out)
+
 
 class PathListDataset(Dataset):
     """Path-list dataset (reference ImageNet900Dataset, image_iter.py:140-159):
@@ -200,7 +216,11 @@ class PathListDataset(Dataset):
                  raw_uint8: bool = False):
         self.samples = [(p, int(l)) for p, l in entries]
         self.targets = [l for _, l in self.samples]
-        self.classes = sorted({str(l) for l in self.targets})
+        # protocol contract: classes is indexed BY LABEL (labels here are
+        # global ImageNet-1k indices, so fill 0..max); a sorted string set
+        # would misalign classes[l] for every consumer (splits.unique_classes)
+        n_cls = (max(self.targets) + 1) if self.targets else 0
+        self.classes = [str(i) for i in range(n_cls)]
         self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
         self.image_size = image_size
         self.raw_uint8 = raw_uint8
@@ -271,7 +291,6 @@ class RelabelDataset(Dataset):
         import random as pyrandom
         rng = pyrandom.Random(seed)
         self.parent = parent
-        self.samples = list(parent.samples)
         self.targets = [
             (t + rng.randint(1, num_classes - 1)) % num_classes
             for t in parent.targets]
@@ -282,3 +301,8 @@ class RelabelDataset(Dataset):
 
     def decode(self, idx: int) -> np.ndarray:
         return self.parent.decode(idx)
+
+    def decode_batch(self, idxs: Sequence[int]) -> np.ndarray:
+        # pixels are untouched by relabeling: keep the parent's batched
+        # fast path (the relabeled forget stream is a training hot path)
+        return self.parent.decode_batch(list(idxs))

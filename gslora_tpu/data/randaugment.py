@@ -18,7 +18,9 @@ ImageEnhance / Image.transform), with torchvision's magnitude tables:
 
 Signed magnitudes flip with p=0.5 per application, ops drawn uniformly with
 replacement — torchvision RandAugment.forward semantics. Geometric ops use
-NEAREST resampling (torchvision default) about the image center.
+NEAREST resampling (torchvision default); shears act about the TOP-LEFT
+corner (torchvision passes center=[0, 0]), translations truncate to whole
+pixels (int(magnitude)), rotation is about the image center.
 """
 from __future__ import annotations
 
@@ -35,20 +37,22 @@ def _affine(img, coeffs):
 
 def _apply_op(img, name: str, mag: float):
     from PIL import Image, ImageEnhance, ImageOps
-    w, h = img.size
-    cx, cy = w * 0.5, h * 0.5
     if name == "Identity":
         return img
     if name == "ShearX":
-        # x' = x + mag*(y - cy): shear about the center, coefficient ==
-        # tan(shear angle) == magnitude (torchvision _apply_op ShearX)
-        return _affine(img, (1.0, mag, -mag * cy, 0.0, 1.0, 0.0))
+        # torchvision v0.15 shears about the TOP-LEFT corner (center=[0,0]
+        # in autoaugment._apply_op): _get_inverse_affine_matrix(rot=0,
+        # sx=atan(mag), cx=cy=0) yields PIL inverse-map coefficients
+        # (1, mag, 0, 0, 1, 0) — no center offset (row y=0 stays fixed)
+        return _affine(img, (1.0, mag, 0.0, 0.0, 1.0, 0.0))
     if name == "ShearY":
-        return _affine(img, (1.0, 0.0, 0.0, mag, 1.0, -mag * cx))
+        return _affine(img, (1.0, 0.0, 0.0, mag, 1.0, 0.0))
     if name == "TranslateX":
-        return _affine(img, (1.0, 0.0, -mag, 0.0, 1.0, 0.0))
+        # torchvision truncates the pixel shift toward zero:
+        # translate=[int(magnitude), 0] (autoaugment._apply_op)
+        return _affine(img, (1.0, 0.0, -int(mag), 0.0, 1.0, 0.0))
     if name == "TranslateY":
-        return _affine(img, (1.0, 0.0, 0.0, 0.0, 1.0, -mag))
+        return _affine(img, (1.0, 0.0, 0.0, 0.0, 1.0, -int(mag)))
     if name == "Rotate":
         return img.rotate(mag, resample=Image.NEAREST)
     if name == "Brightness":
@@ -62,7 +66,10 @@ def _apply_op(img, name: str, mag: float):
     if name == "Posterize":
         return ImageOps.posterize(img, int(mag))
     if name == "Solarize":
-        return ImageOps.solarize(img, int(mag))
+        # float threshold, like torchvision's F.solarize pass-through
+        # (pixels >= threshold invert; int() would also invert the pixel
+        # equal to floor(threshold))
+        return ImageOps.solarize(img, mag)
     if name == "AutoContrast":
         return ImageOps.autocontrast(img)
     if name == "Equalize":

@@ -50,6 +50,22 @@ def read_record(rec, offset: int) -> Tuple[np.ndarray, bytes]:
     return labels, body
 
 
+def read_record_labels(rec, offset: int) -> np.ndarray:
+    """Label-only record read: header + IRHeader (+ label floats), WITHOUT
+    the image payload. The index-building scan over a multi-GB .rec only
+    needs ~32 bytes per record — reading full JPEG bodies there would pull
+    the entire file through python at construction."""
+    rec.seek(offset)
+    head = rec.read(8 + _IR.size)
+    magic, _ = struct.unpack("<II", head[:8])
+    if magic != _MAGIC:
+        raise ValueError(f"bad recordio magic at offset {offset}")
+    flag, label, _id, _id2 = _IR.unpack(head[8:])
+    if flag > 0:
+        return np.frombuffer(rec.read(4 * flag), np.float32)
+    return np.asarray([label], np.float32)
+
+
 class FaceRecordDataset:
     """Indexed .rec face dataset (reference FaceDataset,
     image_iter.py:34-86): record 0 is a header whose label gives the
@@ -58,12 +74,21 @@ class FaceRecordDataset:
 
     def __init__(self, rec_path: str, idx_path: Optional[str] = None,
                  rand_mirror: bool = True, seed: int = 0):
+        import threading
         self.rec_path = rec_path
         self.idx = read_idx_file(idx_path or rec_path[:-4] + ".idx")
         self.rand_mirror = rand_mirror
         self._rng = np.random.RandomState(seed)
-        self._rec = open(rec_path, "rb")
-        header0_label, _ = read_record(self._rec, self.idx[0])
+        # decode() runs inside BatchLoader prefetch threads, and the
+        # dual-loader protocol prefetches two loaders over subsets of the
+        # SAME dataset concurrently: a shared handle's seek/read interleaves
+        # across threads (reads the wrong record), so handles are
+        # thread-local; the mirror RNG is shared for batch determinism and
+        # lock-guarded (mtrand is not thread-safe)
+        self._local = threading.local()
+        self._rng_lock = threading.Lock()
+        rec = self._handle()
+        header0_label = read_record_labels(rec, self.idx[0])
         if len(header0_label) >= 2:
             id_start, id_end = int(header0_label[0]), int(header0_label[1])
             self.imgidx = [k for k in self.idx if 0 < k < id_start]
@@ -72,28 +97,38 @@ class FaceRecordDataset:
         self.samples: List[Tuple[int, int]] = []
         self.targets: List[int] = []
         for k in self.imgidx:
-            labels, _ = read_record(self._rec, self.idx[k])
-            t = int(labels[0])
+            # label-only reads: the full-record path would stream every
+            # JPEG body through python just to build the index
+            t = int(read_record_labels(rec, self.idx[k])[0])
             self.samples.append((k, t))
             self.targets.append(t)
         n_cls = (max(self.targets) + 1) if self.targets else 0
         self.classes = [str(i) for i in range(n_cls)]
         self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
 
+    def _handle(self):
+        rec = getattr(self._local, "rec", None)
+        if rec is None:
+            rec = self._local.rec = open(self.rec_path, "rb")
+        return rec
+
     def __len__(self):
         return len(self.samples)
 
     def decode(self, i: int) -> np.ndarray:
         key, _ = self.samples[i]
-        _, body = read_record(self._rec, self.idx[key])
+        _, body = read_record(self._handle(), self.idx[key])
         return self._decode_body(body)
 
     def _decode_body(self, body: bytes) -> np.ndarray:
         from PIL import Image
         img = Image.open(io.BytesIO(body)).convert("RGB")
         arr = np.asarray(img, np.float32) / 255.0
-        if self.rand_mirror and self._rng.randint(2):
-            arr = arr[:, ::-1]
+        if self.rand_mirror:
+            with self._rng_lock:
+                flip = self._rng.randint(2)
+            if flip:
+                arr = arr[:, ::-1]
         return arr.transpose(2, 0, 1).copy()
 
     def _native(self):

@@ -165,7 +165,8 @@ def run_continual_forgetting(cfg: RunConfig, params, train_ds: Dataset,
                 extra={"task": task, "best_h": res.best_h,
                        "forget_acc": res.forget_acc,
                        "remain_acc": res.remain_acc, "old_acc": old_acc})
-        out.tasks.append(TaskResult(task=task, result=res, old_acc=old_acc))
+        out.tasks.append(TaskResult(task=task, result=res, old_acc=old_acc,
+                                    open_acc=res.open_acc))
 
     out.final_params = params
     return out

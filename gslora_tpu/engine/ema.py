@@ -25,14 +25,18 @@ def merged_params(base, lora_tree, scaling: float):
 
 
 def ema_init(base, lora_tree, scaling: float):
-    return merged_params(base, lora_tree, scaling)
+    """EMA accumulator in fp32 regardless of param dtype: with bf16 params
+    the (1-decay)*delta contribution is usually below the accumulator's ulp
+    and a bf16 EMA silently freezes at its init value (torch EMAs fp32
+    tensors). vit_apply casts to the compute dtype at use."""
+    return jax.tree.map(lambda a: a.astype(jnp.float32),
+                        merged_params(base, lora_tree, scaling))
 
 
 @jax.jit
 def _lerp(ema, target, decay):
     return jax.tree.map(
-        lambda e, t: (e.astype(jnp.float32) * decay +
-                      t.astype(jnp.float32) * (1.0 - decay)).astype(e.dtype),
+        lambda e, t: e * decay + t.astype(jnp.float32) * (1.0 - decay),
         ema, target)
 
 

@@ -28,6 +28,13 @@ def make_eval_step(model: ViTConfig, lora: LoraConfig,
     repeated construction (per CL task, per runner) returns the SAME
     jitted function and reuses its XLA executables instead of recompiling
     (minutes each on tunneled TPUs)."""
+    if model.head_type == "None":
+        # vit_apply returns the bare embedding (no logits) for headless
+        # configs; the tuple unpack below would mis-split it along axis 0
+        raise ValueError(
+            "make_eval_step needs a classification head; head_type='None' "
+            "has no logits to score (use vit_apply(labels=None) for "
+            "embedding evals)")
 
     @jax.jit
     def eval_step(params, x, y):

@@ -27,8 +27,15 @@ class PretrainState:
     step: jax.Array
 
     @classmethod
-    def create(cls, params, optimizer):
-        return cls(params=params, opt_state=optimizer.init(params),
+    def create(cls, params, optimizer, lora_only: bool = False):
+        """``lora_only``: optimizer state covers ONLY the ``lora`` subtree.
+        Matches the reference exactly — torch optimizers skip params whose
+        grad stays None (mark_only_lora_as_trainable, train_own.py:386), so
+        no base moments or weight decay ever exist there; initializing over
+        the full tree would also hold two needless full-model Adam moment
+        buffers."""
+        sub = params["lora"] if lora_only else params
+        return cls(params=params, opt_state=optimizer.init(sub),
                    step=jnp.int32(0))
 
 
@@ -47,19 +54,33 @@ def make_pretrain_step(model: ViTConfig, lora: LoraConfig, optimizer,
             loss = cross_entropy(logits, y)
         return loss, {"loss": loss, "acc": top1_accuracy(logits, y)}
 
+    if lora_only:
+        # loralib mark_only_lora_as_trainable (train_own.py:386): grad,
+        # moments and weight decay exist ONLY for the lora subtree — the
+        # state must be built with PretrainState.create(..., lora_only=True)
+        def lora_loss(lora_tree, base, x, y, rng):
+            return loss_fn({"base": base, "lora": lora_tree}, x, y, rng)
+
+        @jax.jit
+        def lstep(state: PretrainState, x, y, lr, rng):
+            grads, metrics = jax.grad(lora_loss, has_aux=True)(
+                state.params["lora"], state.params["base"], x, y, rng)
+            opt_state = _with_lr(state.opt_state, lr)
+            updates, opt_state = optimizer.update(grads, opt_state,
+                                                  state.params["lora"])
+            new_lora = optax.apply_updates(state.params["lora"], updates)
+            return PretrainState(
+                params={"base": state.params["base"], "lora": new_lora},
+                opt_state=opt_state, step=state.step + 1), metrics
+
+        return lstep
+
     @jax.jit
     def step(state: PretrainState, x, y, lr, rng):
         grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params, x, y,
                                                          rng)
         opt_state = _with_lr(state.opt_state, lr)
         updates, opt_state = optimizer.update(grads, opt_state, state.params)
-        if lora_only:
-            # freeze everything without `lora` in its path (loralib
-            # mark_only_lora_as_trainable, train_own.py:386): discard base
-            # updates entirely so neither grads nor weight decay touch it
-            updates = {"base": jax.tree.map(jnp.zeros_like,
-                                            updates["base"]),
-                       "lora": updates["lora"]}
         new_params = optax.apply_updates(state.params, updates)
         return PretrainState(params=new_params, opt_state=opt_state,
                              step=state.step + 1), metrics
@@ -75,7 +96,7 @@ def pretrain(cfg, params, train_batches_fn, epochs: int,
     from gslora_tpu.engine.state import make_optimizer
 
     opt = make_optimizer(cfg.optim)
-    state = PretrainState.create(params, opt)
+    state = PretrainState.create(params, opt, lora_only=lora_only)
     step = make_pretrain_step(cfg.model, cfg.lora, opt,
                               compute_dtype=compute_dtype,
                               lora_only=lora_only)

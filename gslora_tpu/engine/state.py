@@ -47,16 +47,27 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
         return optax.inject_hyperparams(optax.adamw)(
             learning_rate=cfg.lr, b1=cfg.betas[0], b2=cfg.betas[1],
             eps=cfg.opt_eps, weight_decay=cfg.weight_decay)
+    # torch-style COUPLED weight decay for the non-adamw family: the decay
+    # term joins the gradient BEFORE momentum / moment accumulation
+    # (torch.optim.SGD/Adam/RMSprop semantics — the reference passes
+    # weight_decay to all three, e.g. the SCRUB sgda optimizers at
+    # train_own_forget_cl.py:860-879)
+    def _coupled(make_inner):
+        def factory(learning_rate):
+            inner = make_inner(learning_rate)
+            if cfg.weight_decay:
+                return optax.chain(
+                    optax.add_decayed_weights(cfg.weight_decay), inner)
+            return inner
+        return optax.inject_hyperparams(factory)(learning_rate=cfg.lr)
+
     if cfg.opt == "adam":
-        return optax.inject_hyperparams(optax.adam)(
-            learning_rate=cfg.lr, b1=cfg.betas[0], b2=cfg.betas[1],
-            eps=cfg.opt_eps)
+        return _coupled(lambda lr: optax.adam(
+            lr, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.opt_eps))
     if cfg.opt == "sgd":
-        return optax.inject_hyperparams(optax.sgd)(
-            learning_rate=cfg.lr, momentum=cfg.momentum)
+        return _coupled(lambda lr: optax.sgd(lr, momentum=cfg.momentum))
     if cfg.opt == "rmsprop":
-        return optax.inject_hyperparams(optax.rmsprop)(
-            learning_rate=cfg.lr, momentum=cfg.momentum)
+        return _coupled(lambda lr: optax.rmsprop(lr, momentum=cfg.momentum))
     raise ValueError(f"unknown optimizer {cfg.opt}")
 
 

@@ -33,9 +33,10 @@ def bounded_forget_loss(logits: jax.Array, labels: jax.Array,
 
 
 def top1_accuracy(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """Top-1 accuracy in percent (util/utils.py train_accuracy topk=(1,))."""
-    pred = jnp.argmax(logits, axis=-1)
-    return 100.0 * _masked_mean((pred == labels).astype(jnp.float32), labels)
+    """Top-1 accuracy in percent (util/utils.py train_accuracy topk=(1,));
+    the k=1 case of topk_accuracy (top_k and argmax share first-index
+    tie-breaking) — one masked-accuracy implementation to keep in sync."""
+    return topk_accuracy(logits, labels, (1,))[0]
 
 
 def topk_accuracy(logits: jax.Array, labels: jax.Array,

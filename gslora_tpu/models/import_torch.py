@@ -95,6 +95,15 @@ def from_state_dict(sd: Dict[str, np.ndarray], model: ViTConfig,
         base["head"] = {"weight": jnp.asarray(get("loss.weight"), dt)}
         if "loss.bias" in sd:
             base["head"]["bias"] = jnp.asarray(get("loss.bias"), dt)
+    elif model.head_type != "None":
+        # fail at load time with the offending key, not with a KeyError
+        # deep inside the first jitted forward (the reference's
+        # load_state_dict(strict=True) would flag the same mismatch)
+        raise KeyError(
+            f"checkpoint has no 'loss.weight' but head_type="
+            f"{model.head_type!r} needs one — a backbone-only checkpoint "
+            f"must be loaded with head_type='None' (or resumed through "
+            f"build_params, which keeps the fresh head init)")
 
     lora_tree: Dict = {}
     if lora is not None and lora.rank > 0:

@@ -175,3 +175,63 @@ def test_batch_loader_propagates_decode_errors():
 
     with pytest.raises(RuntimeError, match="corrupt image"):
         list(BatchLoader(BadDataset(), 2, seed=0))
+
+
+def test_concat_dataset_batched_decode_routes_to_parents():
+    """ConcatDataset.decode_batch must split the index list between the
+    two parents (keeping their batched fast paths) and reassemble in
+    order — regression for the per-image fallback on the Replay path."""
+    from gslora_tpu.data.folders import ConcatDataset
+
+    a = synthetic_face_dataset(num_classes=2, per_class=3, image_size=8,
+                               seed=0)
+    b = synthetic_face_dataset(num_classes=2, per_class=3, image_size=8,
+                               seed=1)
+    calls = []
+    orig_a, orig_b = a.decode_batch, b.decode_batch
+    a.decode_batch = lambda ii: (calls.append(("a", list(ii))),
+                                 orig_a(ii))[1]
+    b.decode_batch = lambda ii: (calls.append(("b", list(ii))),
+                                 orig_b(ii))[1]
+    cat = ConcatDataset(a, b)
+    idxs = [7, 0, 9, 3, 6]
+    got = cat.decode_batch(idxs)
+    want = np.stack([cat.decode(i) for i in idxs])
+    np.testing.assert_array_equal(got, want)
+    assert ("a", [0, 3]) in calls and ("b", [1, 3, 0]) in calls
+
+
+def test_relabel_dataset_batched_decode_passthrough():
+    from gslora_tpu.data.splits import random_relabel
+    ds = synthetic_face_dataset(num_classes=3, per_class=4, image_size=8,
+                                seed=0)
+    rl = random_relabel(ds, 3, seed=1)
+    np.testing.assert_array_equal(rl.decode_batch([0, 5, 2]),
+                                  np.stack([rl.decode(i)
+                                            for i in (0, 5, 2)]))
+    # relabeled pairs: never the original label
+    assert all(nt != t for (_, nt), t in zip(rl.samples, ds.targets))
+
+
+def test_path_list_dataset_classes_indexed_by_label(tmp_path):
+    """classes must be label-indexed (protocol contract): ImageNet-900
+    entries carry GLOBAL labels, so classes[999] has to resolve."""
+    from PIL import Image
+    from gslora_tpu.data.folders import PathListDataset
+    p = tmp_path / "x.jpg"
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(p)
+    ds = PathListDataset([(str(p), 999), (str(p), 100)], image_size=8)
+    assert ds.classes[999] == "999" and ds.classes[100] == "100"
+    from gslora_tpu.data.splits import unique_classes
+    names, n = unique_classes(ds)
+    assert n == 2 and set(names) == {"100", "999"}
+
+
+def test_make_eval_step_rejects_headless_config():
+    import pytest as _pytest
+    from gslora_tpu.config import LoraConfig, ViTConfig
+    from gslora_tpu.engine.evaluate import make_eval_step
+    cfg = ViTConfig(image_size=16, patch_size=8, dim=16, depth=1, heads=2,
+                    dim_head=8, mlp_dim=32, num_class=4, head_type="None")
+    with _pytest.raises(ValueError, match="head"):
+        make_eval_step(cfg, LoraConfig(rank=0))

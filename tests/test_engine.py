@@ -204,6 +204,27 @@ def test_ema_semantics():
                                    atol=1e-6)
 
 
+def test_ema_accumulates_in_fp32_under_bf16_params():
+    """Regression: a bf16 EMA accumulator silently freezes — the
+    0.01*(target-ema) contribution is below the bf16 ulp for typical
+    per-epoch deltas. ema_init must promote to fp32 (torch EMAs fp32)."""
+    from gslora_tpu.engine.ema import ema_init, ema_update
+    base = {"blocks": {"fc1": {"kernel": jnp.full((2, 2), 100.0,
+                                                  jnp.bfloat16)}}}
+    ema = ema_init(base, {}, 1.0)
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(ema))
+    drift = {"blocks": {"fc1": {"kernel": jnp.full((2, 2), 100.5,
+                                                   jnp.bfloat16)}}}
+    # 100.5 is exactly representable in bf16 (ulp(100)=0.5); the per-update
+    # contribution 0.01*0.5 is far below ulp/2, so a bf16 accumulator
+    # would round back to 100.0 every time
+    e = ema
+    for _ in range(5):
+        e = ema_update(e, drift, {}, 1.0, decay=0.99)
+    moved = float(e["blocks"]["fc1"]["kernel"][0, 0]) - 100.0
+    assert moved > 0.02  # ~0.5 * (1 - 0.99^5) ≈ 0.0245
+
+
 def test_schedule():
     oc = OptimConfig(lr=1e-2, warmup_lr=1e-6, min_lr=1e-5, warmup_epochs=3,
                      epochs=100)

@@ -121,6 +121,13 @@ def test_missing_lora_keys_tolerated_missing_base_raises():
     del bad["patch_to_embedding.weight"]
     with pytest.raises(KeyError):
         from_state_dict(bad, CFG, LORA)
+    # a backbone-only checkpoint against a margin-head config must fail AT
+    # LOAD with the offending key named, not with a KeyError deep inside
+    # the first jitted forward (the reference's strict resume check exits
+    # on any missing non-lora key, train_own_forget.py:632-638)
+    headless = {k: v for k, v in sd.items() if not k.startswith("loss.")}
+    with pytest.raises(KeyError, match="loss.weight"):
+        from_state_dict(headless, CFG, LORA)
 
 
 def test_merged_attention_lora_layout():

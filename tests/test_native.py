@@ -172,3 +172,48 @@ def test_native_image_decode_matches_pil(native, tmp_path):
     batch = ds.decode_batch(list(range(len(paths))))
     for i in range(len(paths)):
         np.testing.assert_array_equal(batch[i], ds.decode(i))
+
+
+def test_face_record_dataset_thread_safe_decode(tmp_path):
+    """Concurrent decodes (the dual-loader prefetch pattern: two
+    BatchLoader worker threads over subsets of the SAME dataset) must not
+    interleave seek/read on a shared handle — regression guards the
+    thread-local-handle fix (bad-magic / wrong-record reads)."""
+    import threading
+    from gslora_tpu.data.recordio import FaceRecordDataset
+    path, bodies = _write_fixture(tmp_path, n=10)
+    ds = FaceRecordDataset(path, rand_mirror=False)
+    want = [ds.decode(i) for i in range(len(ds))]
+    errors = []
+
+    def worker():
+        try:
+            for _ in range(30):
+                for i in range(len(ds)):
+                    np.testing.assert_array_equal(ds.decode(i), want[i])
+        except Exception as e:  # surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[0]
+
+
+def test_face_record_dataset_label_scan_matches_full_read(tmp_path):
+    """The metadata-only index scan (read_record_labels) must agree with
+    full-record reads for both single-label and multi-label records."""
+    from gslora_tpu.data.recordio import (FaceRecordDataset, read_record,
+                                          read_record_labels)
+    path, _ = _write_fixture(tmp_path, n=6)
+    ds = FaceRecordDataset(path, rand_mirror=False)
+    with open(path, "rb") as rec:
+        for k in ds.imgidx:
+            full_labels, _ = read_record(rec, ds.idx[k])
+            np.testing.assert_array_equal(
+                read_record_labels(rec, ds.idx[k]), full_labels)
+        # header0 is a 2-float multi-label record (flag > 0)
+        np.testing.assert_array_equal(
+            read_record_labels(rec, ds.idx[0]), [99.0, 100.0])

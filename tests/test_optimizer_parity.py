@@ -41,6 +41,49 @@ def test_adamw_matches_torch():
                                tw.detach().numpy(), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("name", ["sgd", "adam"])
+def test_coupled_weight_decay_matches_torch(name):
+    """torch-style COUPLED weight decay (grad += wd*p before the update
+    rule) for the non-adamw family — the reference SCRUB sgda optimizers
+    pass weight_decay to SGD/Adam/RMSprop (train_own_forget_cl.py:860-879);
+    silently dropping it trains a different objective."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(2)
+    w0 = rng.randn(4, 3).astype(np.float32)
+    grads = [rng.randn(4, 3).astype(np.float32) for _ in range(6)]
+    wd = 5e-4
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    if name == "sgd":
+        topt = torch.optim.SGD([tw], lr=1e-2, momentum=0.9, weight_decay=wd)
+        cfg = OptimConfig(opt="sgd", lr=1e-2, momentum=0.9, weight_decay=wd)
+    else:
+        topt = torch.optim.Adam([tw], lr=1e-2, betas=(0.9, 0.999),
+                                eps=1e-8, weight_decay=wd)
+        cfg = OptimConfig(opt="adam", lr=1e-2, weight_decay=wd)
+    for g in grads:
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    opt = make_optimizer(cfg)
+    params = {"w": jnp.asarray(w0)}
+    state = opt.init(params)
+    for g in grads:
+        updates, state = opt.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_scrub_step_decay_is_strictly_after():
+    """sgda LR decay counts np.sum(epoch > decay) (util/sgda_utils.py:13):
+    the decay epoch itself still runs undecayed."""
+    from gslora_tpu.engine.schedule import step_decay_lr
+    assert step_decay_lr(1.0, 99, [100]) == 1.0
+    assert step_decay_lr(1.0, 100, [100]) == 1.0  # strictly after
+    assert abs(step_decay_lr(1.0, 101, [100]) - 0.1) < 1e-12
+
+
 def test_sgd_momentum_matches_torch():
     torch = pytest.importorskip("torch")
     rng = np.random.RandomState(1)
@@ -53,7 +96,8 @@ def test_sgd_momentum_matches_torch():
         tw.grad = torch.from_numpy(g.copy())
         topt.step()
 
-    opt = make_optimizer(OptimConfig(opt="sgd", lr=1e-2, momentum=0.9))
+    opt = make_optimizer(OptimConfig(opt="sgd", lr=1e-2, momentum=0.9,
+                                     weight_decay=0.0))
     params = {"w": jnp.asarray(w0)}
     state = opt.init(params)
     for g in grads:

@@ -146,3 +146,44 @@ def test_prototypes_aug_normalization_parity():
     p_raw = np.asarray(calculate_prototypes(
         params, [(pix, y)], base_model, lora, 4, **kw))
     assert not np.allclose(p_u8, p_raw, atol=1e-3)
+
+
+def test_shear_is_about_top_left_corner():
+    """torchvision v0.15 passes center=[0, 0] to F.affine for ShearX/Y
+    (autoaugment._apply_op): the PIL inverse map is (1, mag, 0, 0, 1, 0)
+    with NO center offset, so the y=0 row (x=0 column for ShearY) is
+    fixed while far rows shift."""
+    img = _img(seed=3)
+    arr = np.asarray(img)
+    sx = np.asarray(_apply_op(img, "ShearX", 0.3))
+    np.testing.assert_array_equal(sx[0], arr[0])  # top row fixed
+    assert not np.array_equal(sx[-1], arr[-1])  # bottom row sheared
+    sy = np.asarray(_apply_op(img, "ShearY", 0.3))
+    np.testing.assert_array_equal(sy[:, 0], arr[:, 0])
+    assert not np.array_equal(sy[:, -1], arr[:, -1])
+
+
+def test_translate_truncates_to_whole_pixels():
+    """torchvision passes translate=[int(magnitude), 0]: a fractional
+    magnitude must land on exactly the truncated whole-pixel shift."""
+    img = _img(seed=4)
+    frac = np.asarray(_apply_op(img, "TranslateX", 5.7))
+    whole = np.asarray(_apply_op(img, "TranslateX", 5.0))
+    np.testing.assert_array_equal(frac, whole)
+    # the shift itself is real: columns move by exactly 5
+    arr = np.asarray(img)
+    np.testing.assert_array_equal(whole[:, 5:], arr[:, :-5])
+    neg = np.asarray(_apply_op(img, "TranslateY", -5.7))
+    np.testing.assert_array_equal(neg[:-5], np.asarray(img)[5:])
+
+
+def test_solarize_float_threshold_boundary():
+    """F.solarize passes the float threshold through: pixels >= threshold
+    invert, so 178 stays and 179 flips at threshold 178.5 (int() would
+    also flip 178)."""
+    img = Image.fromarray(np.full((4, 4, 3), 178, np.uint8))
+    np.testing.assert_array_equal(
+        np.asarray(_apply_op(img, "Solarize", 178.5)), 178)
+    img2 = Image.fromarray(np.full((4, 4, 3), 179, np.uint8))
+    np.testing.assert_array_equal(
+        np.asarray(_apply_op(img2, "Solarize", 178.5)), 255 - 179)

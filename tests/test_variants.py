@@ -104,7 +104,7 @@ def test_lora_only_pretrain_freezes_base():
     lora = LoraConfig(rank=4)
     params = init_vit_params(jax.random.key(0), CFG, lora)
     opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-3))
-    state = PretrainState.create(params, opt)
+    state = PretrainState.create(params, opt, lora_only=True)
     step = make_pretrain_step(CFG, lora, opt, compute_dtype=jnp.float32,
                               lora_only=True)
     x = jax.random.normal(jax.random.key(1), (4, 3, 16, 16))
@@ -116,3 +116,8 @@ def test_lora_only_pretrain_freezes_base():
         np.asarray(state.params["base"]["patch"]["kernel"]))
     assert not np.allclose(np.asarray(params["lora"]["ffn"]["A1"]),
                            np.asarray(state.params["lora"]["ffn"]["A1"]))
+    # the optimizer state is scoped to the LoRA subtree (torch skips
+    # grad-None base params entirely) — no full-model moment buffers
+    opt_size = sum(l.size for l in jax.tree.leaves(state.opt_state))
+    base_size = sum(l.size for l in jax.tree.leaves(params["base"]))
+    assert opt_size < base_size

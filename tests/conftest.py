@@ -11,8 +11,14 @@ import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # 8 virtual devices timeshare one core here; XLA's CPU collective
+    # rendezvous SIGABRTs a participant descheduled past its default 40 s
+    # termination timeout (observed flake) — give it headroom.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

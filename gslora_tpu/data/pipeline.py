@@ -125,24 +125,44 @@ class BatchLoader:
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         STOP = object()
+        abandoned = threading.Event()
+
+        def put(item) -> bool:
+            # never block forever: a consumer that abandons the epoch
+            # mid-iteration (CyclingLoader at an epoch boundary) would
+            # otherwise leave this thread parked in q.put holding decoded
+            # batches — one leaked thread per epoch
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for c in chunks:
-                    q.put(self._assemble(c))
-                q.put(STOP)
+                    if not put(self._assemble(c)):
+                        return
+                put(STOP)
             except BaseException as e:  # surface decode errors, don't
-                q.put(e)                # silently truncate the epoch
+                put(e)                  # silently truncate the epoch
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is STOP:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is STOP:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # runs on normal exhaustion AND on GeneratorExit/GC of a
+            # half-consumed epoch; lets the worker exit promptly
+            abandoned.set()
 
 
 class DevicePrefetcher:

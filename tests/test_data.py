@@ -161,6 +161,28 @@ def test_device_prefetcher():
     assert isinstance(batches[0][0], jax.Array)
 
 
+def test_batch_loader_abandoned_iterator_releases_worker():
+    """A half-consumed epoch (CyclingLoader dropped at an epoch boundary)
+    must not leave the prefetch worker parked in q.put forever — that
+    leaked one thread + ~3 decoded batches per epoch."""
+    import gc
+    import threading
+    import time
+
+    ds = synthetic_face_dataset(num_classes=2, per_class=16)
+    dl = BatchLoader(ds, 2, seed=0, prefetch=2)
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(dl)
+        next(it)  # consume one batch, abandon the rest
+        del it
+    gc.collect()
+    deadline = time.time() + 10.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
 def test_batch_loader_propagates_decode_errors():
     class BadDataset:
         samples = [(0, 0), (1, 1)]

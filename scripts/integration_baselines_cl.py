@@ -122,13 +122,31 @@ def main():
         "scrub": dict(n_ep=10, baseline=BaselineConfig(
             method="scrub", scrub_superepoch=2, sgda_learning_rate=5e-4,
             sgda_gamma=0.99, sgda_alpha=0.001)),
+        # distill family: same lambdas as the single-task matrix
+        "der": dict(n_ep=6, baseline=BaselineConfig(method="der",
+                                                    der_lambda=0.1)),
+        "der_plus": dict(n_ep=6, baseline=BaselineConfig(
+            method="der_plus", der_lambda=0.1, der_plus_lambda=0.1)),
+        "fdr": dict(n_ep=6, baseline=BaselineConfig(method="fdr",
+                                                    fdr_lambda=0.1)),
+        # regularization family lambdas from the reference recipe templates
+        "mas": dict(n_ep=6, baseline=BaselineConfig(method="mas",
+                                                    mas_lambda=5.0)),
+        "l2": dict(n_ep=6, baseline=BaselineConfig(method="l2",
+                                                   l2_lambda=0.1)),
+        "replay": dict(n_ep=6, baseline=BaselineConfig(method="replay")),
+        # retrain is from-scratch per task: give it the full pretrain
+        # budget (see the single-task matrix footnote)
+        "retrain": dict(n_ep=12, lr=3e-4,
+                        baseline=BaselineConfig(method="retrain")),
     }
     for m in methods:
         r = recipes[m]
         t1 = time.time()
         cfg = RunConfig(
             model=MODEL, lora=LORA,
-            optim=OptimConfig(opt="adamw", lr=1e-4, warmup_epochs=0,
+            optim=OptimConfig(opt="adamw", lr=r.get("lr", 1e-4),
+                              warmup_epochs=0,
                               epochs=r["n_ep"]),
             forget=ForgetConfig(num_of_first_cls=80, per_forget_cls=10,
                                 num_tasks=a.num_tasks, data_ratio=0.4),
@@ -146,8 +164,17 @@ def main():
 
 def _flush(report, t0):
     report["total_wallclock_s"] = round(time.time() - t0, 1)
-    with open("/tmp/integration_baselines_cl.json", "w") as f:
-        json.dump(report, f, indent=2)
+    out_path = "/tmp/integration_baselines_cl.json"
+    merged = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
+    merged.update(report)
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=2)
     print(json.dumps(report, indent=2), flush=True)
 
 

@@ -31,6 +31,7 @@ import optax
 from gslora_tpu.config import LoraConfig, RunConfig, ViTConfig
 from gslora_tpu.engine.evaluate import eval_accuracy, h_mean, make_eval_step
 from gslora_tpu.engine.forget import _with_lr
+from gslora_tpu.engine.loop import step_cache
 from gslora_tpu.engine.pretrain import PretrainState
 from gslora_tpu.engine.schedule import timm_cosine_lr
 from gslora_tpu.losses.classification import cross_entropy
@@ -121,16 +122,20 @@ def make_distill_step(method: str, model: ViTConfig, lora: LoraConfig,
     return step
 
 
-import functools
+# hyperparameters each method's traced loss actually reads — the cache key
+# is restricted to these so varying an unrelated lambda (e.g. der_lambda
+# during an LwF sweep) doesn't force a spurious recompile
+_HP_KEYS = {"lwf": ("T", "lambda_kd", "lambda_remain"),
+            "der": ("lambda_der",),
+            "der_plus": ("lambda_der", "lambda_der_plus"),
+            "fdr": ("lambda_fdr",)}
 
 
-@functools.lru_cache(maxsize=16)
+@step_cache
 def _cached_distill_step(method: str, model, lora, optim_cfg, hp_items,
                          cdt, faithful: bool):
-    """(optimizer, jitted step) cached per configuration: a multi-task CL
-    run otherwise rebuilds the closure per task and pays a fresh XLA
-    compile each time (minutes on tunneled TPUs — same pattern as
-    engine.loop._cached_step). Keys are frozen dataclasses / scalars."""
+    """(optimizer, jitted step) cached per configuration (shared policy in
+    engine.loop.step_cache). Keys are frozen dataclasses / scalars."""
     from gslora_tpu.engine.state import make_optimizer
     opt = make_optimizer(optim_cfg)
     step = make_distill_step(method, model, lora, opt, dict(hp_items),
@@ -161,8 +166,9 @@ def run_distill_task(cfg: RunConfig, params, teacher_params,
     put_params, put_batch = placement(mesh)
     params = put_params(params)
     teacher_params = put_params(teacher_params)
+    hp_key = {k: hp[k] for k in _HP_KEYS.get(method, tuple(hp))}
     opt, step = _cached_distill_step(method, cfg.model, cfg.lora, cfg.optim,
-                                     tuple(sorted(hp.items())), cdt,
+                                     tuple(sorted(hp_key.items())), cdt,
                                      b.lwf_faithful_zero_kd)
     state = PretrainState.create(params, opt)
     eval_step = make_eval_step(cfg.model, cfg.lora, compute_dtype=cdt)

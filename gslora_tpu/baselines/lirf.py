@@ -31,7 +31,6 @@ Per step over the RELABELED forget loader (cycling remain):
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -41,6 +40,7 @@ import optax
 from gslora_tpu.config import LoraConfig, RunConfig, ViTConfig
 from gslora_tpu.engine.evaluate import h_mean
 from gslora_tpu.engine.forget import _with_lr
+from gslora_tpu.engine.loop import step_cache
 from gslora_tpu.engine.schedule import timm_cosine_lr
 from gslora_tpu.losses.classification import cross_entropy
 from gslora_tpu.losses.distillation import attention_transfer_loss, \
@@ -141,18 +141,19 @@ def make_lirf_step(model: ViTConfig, lora: LoraConfig, optimizer,
     return step
 
 
-@functools.lru_cache(maxsize=8)
+@step_cache
 def _cached_lirf_step(model, lora, optim_cfg, split, T, alpha, cdt):
-    """(optimizer, jitted step) cached per configuration — multi-task runs
-    re-use the compiled step (opt state is re-initialized per task like the
-    reference's re-created optimizer, cl.py:811)."""
+    """(optimizer, jitted step) cached per configuration (shared policy in
+    engine.loop.step_cache) — multi-task runs re-use the compiled step
+    (opt state is re-initialized per task like the reference's re-created
+    optimizer, cl.py:811)."""
     from gslora_tpu.engine.state import make_optimizer
     opt = make_optimizer(optim_cfg)
     return opt, make_lirf_step(model, lora, opt, split=split, T=T,
                                alpha=alpha, compute_dtype=cdt)
 
 
-@functools.lru_cache(maxsize=8)
+@step_cache
 def _make_lirf_eval(model: ViTConfig, lora: LoraConfig, compute_dtype):
     """Cached jitted composed-eval step: rebuilding the closure per call
     would defeat jax.jit's cache and recompile on every eval (minutes on

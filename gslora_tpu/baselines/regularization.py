@@ -26,6 +26,7 @@ import optax
 from gslora_tpu.config import LoraConfig, RunConfig, ViTConfig
 from gslora_tpu.engine.evaluate import eval_accuracy, h_mean, make_eval_step
 from gslora_tpu.engine.forget import _with_lr
+from gslora_tpu.engine.loop import step_cache
 from gslora_tpu.engine.pretrain import PretrainState
 from gslora_tpu.engine.schedule import timm_cosine_lr
 from gslora_tpu.losses.classification import cross_entropy, top1_accuracy
@@ -61,13 +62,10 @@ def make_reg_step(model: ViTConfig, lora: LoraConfig, optimizer, n_terms: int,
     return step
 
 
-import functools
-
-
-@functools.lru_cache(maxsize=16)
+@step_cache
 def _cached_reg_step(model, lora, optim_cfg, n_terms: int, cdt):
-    """(optimizer, jitted step) cached per configuration (same pattern as
-    engine.loop._cached_step): retrain/replay and same-n_terms tasks reuse
+    """(optimizer, jitted step) cached per configuration (shared policy in
+    engine.loop.step_cache): retrain/replay and same-n_terms tasks reuse
     the compiled step instead of paying a fresh XLA compile per task.
     (EWC/MAS tasks grow n_terms, whose penalty structure is static — those
     recompile by necessity.)"""

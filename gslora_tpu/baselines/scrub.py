@@ -22,6 +22,7 @@ import optax
 from gslora_tpu.config import LoraConfig, RunConfig, ViTConfig
 from gslora_tpu.engine.evaluate import eval_accuracy, h_mean, make_eval_step
 from gslora_tpu.engine.forget import _with_lr
+from gslora_tpu.engine.loop import step_cache
 from gslora_tpu.engine.pretrain import PretrainState
 from gslora_tpu.engine.schedule import step_decay_lr
 from gslora_tpu.losses.classification import cross_entropy
@@ -100,16 +101,14 @@ def make_scrub_steps(model: ViTConfig, lora: LoraConfig, optimizer,
     return make(max_loss), make(min_loss)
 
 
-import functools
-
-
-@functools.lru_cache(maxsize=16)
+@step_cache
 def _cached_scrub_steps(model, lora, optim_cfg, kd_T, smoothing, gamma,
                         alpha, cdt):
-    """(optimizer, max_step, min_step) cached per configuration so a
-    multi-task CL run re-uses the compiled steps (the reference re-creates
-    only the optimizer per task, cl.py:811 — the cached optimizer object is
-    pure, so re-initializing its state per task is equivalent)."""
+    """(optimizer, max_step, min_step) cached per configuration (shared
+    policy in engine.loop.step_cache) so a multi-task CL run re-uses the
+    compiled steps (the reference re-creates only the optimizer per task,
+    cl.py:811 — the cached optimizer object is pure, so re-initializing
+    its state per task is equivalent)."""
     from gslora_tpu.engine.state import make_optimizer
     opt = make_optimizer(optim_cfg)
     mx, mn = make_scrub_steps(model, lora, opt, kd_T, smoothing, gamma,

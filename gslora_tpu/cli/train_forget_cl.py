@@ -299,7 +299,7 @@ def main(argv=None):
             "task": t.task, "forget_acc_before": t.result.forget_acc_before,
             "forget_acc": t.result.forget_acc,
             "remain_acc": t.result.remain_acc, "old_acc": t.old_acc,
-            "open_acc": t.open_acc,
+            "open_acc": t.result.open_acc,
             "best_H_mean": t.result.best_h, "norm_list": t.result.norm_list,
             "time_to_forget_s": round(t.result.wallclock_s, 2),
         } for t in out.tasks]

@@ -194,10 +194,11 @@ class ConcatDataset(Dataset):
         batched fast paths (C++ thread-pool decode) survive concatenation
         — the inherited per-image fallback would drop them on the Replay
         hot path."""
+        idxs = list(idxs)
         na = len(self.a)
         pos_a = [(j, i) for j, i in enumerate(idxs) if i < na]
         pos_b = [(j, i - na) for j, i in enumerate(idxs) if i >= na]
-        out: List = [None] * len(list(idxs))
+        out: List = [None] * len(idxs)
         for pairs, ds in ((pos_a, self.a), (pos_b, self.b)):
             if pairs:
                 batch = ds.decode_batch([i for _, i in pairs])

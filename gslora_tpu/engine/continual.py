@@ -36,7 +36,6 @@ class TaskResult:
     task: int
     result: ForgetResult
     old_acc: Optional[float] = None
-    open_acc: Optional[float] = None
 
 
 @dataclass
@@ -165,8 +164,7 @@ def run_continual_forgetting(cfg: RunConfig, params, train_ds: Dataset,
                 extra={"task": task, "best_h": res.best_h,
                        "forget_acc": res.forget_acc,
                        "remain_acc": res.remain_acc, "old_acc": old_acc})
-        out.tasks.append(TaskResult(task=task, result=res, old_acc=old_acc,
-                                    open_acc=res.open_acc))
+        out.tasks.append(TaskResult(task=task, result=res, old_acc=old_acc))
 
     out.final_params = params
     return out

@@ -14,6 +14,7 @@ train_own_forget.py:722-826) re-shaped around one jitted step:
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
@@ -62,10 +63,17 @@ def _dtype(cfg: RunConfig):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
-import functools
+def step_cache(builder):
+    """Shared cache policy for (optimizer, jitted step) builders — one
+    compiled step per frozen-config key so multi-task CL runs don't pay a
+    fresh XLA compile per task (minutes on tunneled TPUs). Every engine /
+    baseline cached-step builder uses this one decorator so the caching
+    contract (size, keying rules: hashable frozen dataclasses + scalars
+    only) lives in one place."""
+    return functools.lru_cache(maxsize=16)(builder)
 
 
-@functools.lru_cache(maxsize=16)
+@step_cache
 def _cached_step(model, lora, fcfg, optim_cfg, cdt, lora_apply,
                  structure_mode, fused_batch, trainable):
     """(optimizer, jitted step) cached per configuration: a 4-task CL run

@@ -101,9 +101,10 @@ def from_state_dict(sd: Dict[str, np.ndarray], model: ViTConfig,
         # load_state_dict(strict=True) would flag the same mismatch)
         raise KeyError(
             f"checkpoint has no 'loss.weight' but head_type="
-            f"{model.head_type!r} needs one — a backbone-only checkpoint "
-            f"must be loaded with head_type='None' (or resumed through "
-            f"build_params, which keeps the fresh head init)")
+            f"{model.head_type!r} needs one — a backbone-only .pth can "
+            f"only be loaded with head_type='None'; to train a fresh head "
+            f"on top, add a 'loss.weight' entry to the state dict (or save "
+            f"a full-tree .msgpack snapshot and resume from that)")
 
     lora_tree: Dict = {}
     if lora is not None and lora.rank > 0:

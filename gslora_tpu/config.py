@@ -294,10 +294,18 @@ class MeshConfig:
     """Device mesh layout. data axis = DP (batch sharding, grads all-reduced
     over ICI by XLA); model axis partitions the classification head's class
     dim — capability parity with the reference's chunked model-parallel heads
-    (vit_face.py:37-51)."""
+    (vit_face.py:37-51).
+
+    ``tp=True`` additionally runs Megatron-style tensor parallelism over the
+    same ``model`` axis: every block's FFN hidden dim (fc1 columns / fc2
+    rows, plus the matching LoRA factors B1/A2) is sharded via NamedSharding
+    and XLA inserts the reduce-scatter/all-reduce pair of the classic
+    column-then-row-parallel MLP automatically (beyond the reference, whose
+    only parallelism is nn.DataParallel)."""
 
     data: int = -1  # -1 => all devices
     model: int = 1
+    tp: bool = False  # shard FFN hidden dim over the model axis
 
 
 @dataclass
@@ -444,6 +452,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--mesh_data", default=-1, type=int)
     p.add_argument("--mesh_model", default=1, type=int)
+    p.add_argument("--tp", action="store_true",
+                   help="tensor parallelism: shard FFN hidden dims (and the "
+                        "head's class dim) over the model mesh axis")
     # TPU execution modes (gslora_tpu additions; defaults reference-faithful)
     p.add_argument("--lora_apply", default="factored", type=str,
                    choices=["factored", "merged"])
@@ -616,7 +627,8 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
             batch_size=args.batch_size, seed=args.seed,
             uint8_transfer=getattr(args, "uint8_transfer", False),
         ),
-        mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
+        mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model,
+                        tp=getattr(args, "tp", False)),
         resume=args.resume, outdir=args.outdir,
         compute_dtype=args.compute_dtype,
         lora_apply="merged" if getattr(args, "fast", False)

@@ -113,7 +113,13 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
     batch_sh = None
     from gslora_tpu.parallel.mesh import placement, set_attention_mesh
     set_attention_mesh(mesh)  # pallas attention shards per-device under it
-    put_params, _ = placement(mesh)
+    if mesh is not None and cfg.mesh.tp and cfg.structure_mode == "prox":
+        # the prox step applies a Mosaic kernel directly to the LoRA
+        # factors; under tp those are model-axis-sharded and a Mosaic
+        # custom call has no GSPMD partitioning rule
+        raise ValueError("structure_mode='prox' is incompatible with "
+                         "MeshConfig.tp — use the default 'loss' mode")
+    put_params, _ = placement(mesh, tp=cfg.mesh.tp)
     params = put_params(params)  # replicate; head over `model` axis if >1
     if mesh is not None:
         from gslora_tpu.parallel.mesh import batch_sharding

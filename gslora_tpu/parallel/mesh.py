@@ -61,37 +61,76 @@ def shard_batch(mesh: Mesh, *arrays):
     return out if len(out) > 1 else out[0]
 
 
-def param_shardings(mesh: Mesh, params, shard_head: bool = True):
+def param_shardings(mesh: Mesh, params, shard_head: bool = True,
+                    tp: bool = False):
     """Replicate everything; optionally shard the classification head's
     class dim over ``model`` (capability parity with the reference's
-    model-parallel heads)."""
+    model-parallel heads).
+
+    ``tp=True`` (MeshConfig.tp) adds Megatron-style tensor parallelism over
+    the same ``model`` axis: the FFN hidden dim is sharded — fc1 kernel
+    (L, d, m) and bias (L, m) by columns, fc2 kernel (L, m, d) by rows —
+    together with the LoRA factors carrying that dim (B1 (L, m, r) rows,
+    A2 (L, r, m) columns), so both the factored deltas and the merged
+    B@A fold land on the local shard with no resharding. XLA derives the
+    column-parallel -> elementwise -> row-parallel + all-reduce schedule of
+    the classic TP MLP from these NamedShardings alone; attention stays
+    replicated (its fused qkv kernel interleaves q/k/v at thirds that don't
+    align with power-of-two shard boundaries — splitting it would buy an
+    all-to-all per layer)."""
     replicated = NamedSharding(mesh, P())
     head_sh = NamedSharding(mesh, P(MODEL_AXIS, None))
+    mp = mesh.shape[MODEL_AXIS]
+    # (path names to match, leaf ndim, spec) for the TP-sharded leaves;
+    # the sharded dim must divide evenly or GSPMD refuses at compile time,
+    # so guard here with a clear error instead
+    tp_rules = (
+        (("fc1", "kernel"), 3, P(None, None, MODEL_AXIS), 2),
+        (("fc1", "bias"), 2, P(None, MODEL_AXIS), 1),
+        (("fc2", "kernel"), 3, P(None, MODEL_AXIS, None), 1),
+        (("ffn", "B1"), 3, P(None, MODEL_AXIS, None), 1),
+        (("ffn", "A2"), 3, P(None, None, MODEL_AXIS), 2),
+    )
 
     def place(path, leaf):
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
         if shard_head and "head" in names and "weight" in names and \
-                leaf.ndim == 2 and mesh.shape[MODEL_AXIS] > 1:
+                leaf.ndim == 2 and mp > 1:
+            if leaf.shape[0] % mp != 0:
+                raise ValueError(
+                    f"head weight class dim {leaf.shape[0]} not divisible "
+                    f"by model axis {mp} — pick a model axis that divides "
+                    f"num_class")
             return head_sh
+        if tp and mp > 1:
+            for keys, ndim, spec, dim in tp_rules:
+                if all(k in names for k in keys) and leaf.ndim == ndim:
+                    if leaf.shape[dim] % mp != 0:
+                        raise ValueError(
+                            f"tp=True: {'/'.join(names)} dim {dim} size "
+                            f"{leaf.shape[dim]} not divisible by model "
+                            f"axis {mp}")
+                    return NamedSharding(mesh, spec)
         return replicated
 
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def replicate(mesh: Mesh, tree):
+def replicate(mesh: Mesh, tree, tp: bool = False):
     """device_put a pytree with its param_shardings layout."""
-    sh = param_shardings(mesh, tree)
+    sh = param_shardings(mesh, tree, tp=tp)
     return jax.tree.map(jax.device_put, tree, sh)
 
 
-def placement(mesh: Optional[Mesh]):
+def placement(mesh: Optional[Mesh], tp: bool = False):
     """(put_params, put_batch) pair for an optional mesh.
 
     With a mesh: put_params replicates a param pytree (head weight sharded
-    over ``model`` when that axis is >1) and put_batch shards arrays'
-    leading dim over ``data``. With mesh=None both are plain asarray/
-    identity — so every engine can take ``mesh=None`` and stay
-    single-device with zero branching at call sites.
+    over ``model`` when that axis is >1; FFN hidden dims too when
+    ``tp=True``) and put_batch shards arrays' leading dim over ``data``.
+    With mesh=None both are plain asarray/identity — so every engine can
+    take ``mesh=None`` and stay single-device with zero branching at call
+    sites.
     """
     import jax.numpy as jnp
 
@@ -104,4 +143,4 @@ def placement(mesh: Optional[Mesh]):
     def put_batch(*arrays):
         return tuple(jax.device_put(jnp.asarray(a), bs) for a in arrays)
 
-    return (lambda t: replicate(mesh, t)), put_batch
+    return (lambda t: replicate(mesh, t, tp=tp)), put_batch

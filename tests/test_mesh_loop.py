@@ -245,3 +245,62 @@ def test_model_parallel_head_equivalence():
                     jax.tree_util.tree_leaves(s1.lora)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("mesh_shape,lora_apply",
+                         [((4, 2), "factored"), ((2, 2), "merged")],
+                         ids=["dp4tp2_factored", "dp2tp2_merged"])
+def test_tp_equivalence(mesh_shape, lora_apply):
+    """MeshConfig(tp=True): Megatron-style tensor parallelism — FFN hidden
+    dims (fc1 cols / fc2 rows + LoRA B1/A2) and the head's class dim sharded
+    over the ``model`` axis purely via NamedShardings — must reproduce the
+    single-device training dynamics to fp-reassociation tolerance in BOTH
+    LoRA apply modes (the merged fold adds sharded B@A to the sharded fc
+    kernels; the factored path contracts deltas over the sharded hidden
+    dim)."""
+    import dataclasses as _dc
+
+    from gslora_tpu.parallel.mesh import param_shardings
+
+    data = _data()
+    d, m = mesh_shape
+    cfg = _dc.replace(_cfg(), mesh=MeshConfig(data=d, model=m, tp=True),
+                      lora_apply=lora_apply)
+
+    params0 = init_vit_params(jax.random.key(0), MODEL, LORA)
+    res_single = run_forget_training(_dc.replace(cfg, mesh=MeshConfig()),
+                                     params0, data, mesh=None)
+
+    params1 = init_vit_params(jax.random.key(0), MODEL, LORA)
+    mesh = make_mesh(cfg.mesh)
+    # the TP leaves really are sharded over the model axis
+    sh = param_shardings(mesh, params1, tp=True)
+    assert sh["base"]["blocks"]["fc1"]["kernel"].spec[2] == "model"
+    assert sh["base"]["blocks"]["fc2"]["kernel"].spec[1] == "model"
+    assert sh["lora"]["ffn"]["B1"].spec[1] == "model"
+    assert sh["lora"]["ffn"]["A2"].spec[2] == "model"
+    res_mesh = run_forget_training(cfg, params1, data, mesh=mesh)
+
+    for a, b in zip(jax.tree_util.tree_leaves(res_single.state.lora),
+                    jax.tree_util.tree_leaves(res_mesh.state.lora)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    assert len(res_single.history) == len(res_mesh.history)
+    for hs, hm in zip(res_single.history, res_mesh.history):
+        for k in ("Test forget Accuracy", "Test remain Accuracy", "H_mean"):
+            assert abs(hs[k] - hm[k]) < 1e-3, (k, hs[k], hm[k])
+
+
+def test_tp_divisibility_error():
+    """A hidden dim not divisible by the model axis must fail loudly at
+    placement time (GSPMD's own error at compile time is far less
+    actionable)."""
+    from gslora_tpu.parallel.mesh import param_shardings
+
+    model = ViTConfig(image_size=16, patch_size=8, dim=32, depth=2, heads=2,
+                      dim_head=16, mlp_dim=60, num_class=6,
+                      head_type="Softmax")
+    params = init_vit_params(jax.random.key(0), model, LORA)
+    mesh = make_mesh(MeshConfig(data=1, model=8))
+    with pytest.raises(ValueError, match="not divisible"):
+        param_shardings(mesh, params, tp=True)

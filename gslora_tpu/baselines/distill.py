@@ -163,7 +163,7 @@ def run_distill_task(cfg: RunConfig, params, teacher_params,
     cdt = _dtype(cfg)
     logger = logger or MetricLogger()
     from gslora_tpu.parallel.mesh import placement
-    put_params, put_batch = placement(mesh, tp=cfg.mesh.tp)
+    put_params, put_batch = placement(mesh, tp=cfg.mesh.tp, fsdp=cfg.mesh.fsdp)
     params = put_params(params)
     teacher_params = put_params(teacher_params)
     hp_key = {k: hp[k] for k in _HP_KEYS.get(method, tuple(hp))}

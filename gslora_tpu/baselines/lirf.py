@@ -211,7 +211,7 @@ def run_lirf_task(cfg: RunConfig, params, forget_loader_factory: Callable,
 
     cdt = _dtype(cfg)
     logger = logger or MetricLogger()
-    put_params, put_batch = placement(mesh, tp=cfg.mesh.tp)
+    put_params, put_batch = placement(mesh, tp=cfg.mesh.tp, fsdp=cfg.mesh.fsdp)
     b = cfg.baseline
     half = cfg.model.depth // 2
     if carry is not None:

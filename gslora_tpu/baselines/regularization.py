@@ -140,7 +140,7 @@ def run_regularization_task(cfg: RunConfig, params, train_loader_factory,
 
     cdt = _dtype(cfg)
     logger = logger or MetricLogger()
-    put_params, put_batch = placement(mesh, tp=cfg.mesh.tp)
+    put_params, put_batch = placement(mesh, tp=cfg.mesh.tp, fsdp=cfg.mesh.fsdp)
     params = put_params(params)
     anchors = [put_params(a) for a in anchors]
     importances = [put_params(i) for i in importances]

@@ -140,7 +140,7 @@ def run_scrub_task(cfg: RunConfig, params, forget_loader_factory: Callable,
     b = cfg.baseline
     cdt = _dtype(cfg)
     logger = logger or MetricLogger()
-    put_params, put_batch = placement(mesh, tp=cfg.mesh.tp)
+    put_params, put_batch = placement(mesh, tp=cfg.mesh.tp, fsdp=cfg.mesh.fsdp)
     params = put_params(params)
     # the sgda optimizer replaces the main one (cl.py:860-879); its state
     # is re-initialized per task like the reference's re-created optimizer

@@ -51,7 +51,7 @@ def main(argv=None):
                 f"batch_size {cfg.data.batch_size} not divisible by the "
                 f"mesh data axis ({mesh.shape.get('data', 1)})")
     from gslora_tpu.parallel.mesh import placement
-    put_params, put_batch = placement(mesh, tp=cfg.mesh.tp)
+    put_params, put_batch = placement(mesh, tp=cfg.mesh.tp, fsdp=cfg.mesh.fsdp)
     params = put_params(params)
 
     opt = make_optimizer(cfg.optim)

@@ -301,11 +301,19 @@ class MeshConfig:
     rows, plus the matching LoRA factors B1/A2) is sharded via NamedSharding
     and XLA inserts the reduce-scatter/all-reduce pair of the classic
     column-then-row-parallel MLP automatically (beyond the reference, whose
-    only parallelism is nn.DataParallel)."""
+    only parallelism is nn.DataParallel).
+
+    ``fsdp=True`` shards the big stacked block kernels (qkv, attn_out, fc1,
+    fc2 — each on its model-dim ``d``, disjoint from the tp dims so both
+    compose) over the ``data`` axis, ZeRO-style: optimizer moments inherit
+    the sharding from zeros_like, so param + moment memory scales 1/data;
+    XLA all-gathers weights just-in-time (or keeps partial matmuls + psum,
+    whichever it schedules)."""
 
     data: int = -1  # -1 => all devices
     model: int = 1
     tp: bool = False  # shard FFN hidden dim over the model axis
+    fsdp: bool = False  # shard block kernels (+moments) over the data axis
 
 
 @dataclass
@@ -455,6 +463,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tp", action="store_true",
                    help="tensor parallelism: shard FFN hidden dims (and the "
                         "head's class dim) over the model mesh axis")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-style: shard block kernels + optimizer "
+                        "moments over the data mesh axis")
     # TPU execution modes (gslora_tpu additions; defaults reference-faithful)
     p.add_argument("--lora_apply", default="factored", type=str,
                    choices=["factored", "merged"])
@@ -628,7 +639,8 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
             uint8_transfer=getattr(args, "uint8_transfer", False),
         ),
         mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model,
-                        tp=getattr(args, "tp", False)),
+                        tp=getattr(args, "tp", False),
+                        fsdp=getattr(args, "fsdp", False)),
         resume=args.resume, outdir=args.outdir,
         compute_dtype=args.compute_dtype,
         lora_apply="merged" if getattr(args, "fast", False)

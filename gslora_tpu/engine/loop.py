@@ -119,7 +119,7 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
         # custom call has no GSPMD partitioning rule
         raise ValueError("structure_mode='prox' is incompatible with "
                          "MeshConfig.tp — use the default 'loss' mode")
-    put_params, _ = placement(mesh, tp=cfg.mesh.tp)
+    put_params, _ = placement(mesh, tp=cfg.mesh.tp, fsdp=cfg.mesh.fsdp)
     params = put_params(params)  # replicate; head over `model` axis if >1
     if mesh is not None:
         from gslora_tpu.parallel.mesh import batch_sharding

@@ -61,36 +61,55 @@ def shard_batch(mesh: Mesh, *arrays):
     return out if len(out) > 1 else out[0]
 
 
+# TP rules: (path names to match, leaf ndim, sharded dim) over `model`.
+# fc1 (L, d, m) by columns + its bias, fc2 (L, m, d) by rows, and the LoRA
+# factors carrying the hidden dim (B1 (L, m, r) rows, A2 (L, r, m) columns)
+# so factored deltas and the merged B@A fold land on the local shard with
+# no resharding. Attention stays replicated: its fused qkv kernel
+# interleaves q/k/v at thirds that don't align with power-of-two shard
+# boundaries — splitting it would buy an all-to-all per layer.
+_TP_RULES = (
+    (("fc1", "kernel"), 3, 2),
+    (("fc1", "bias"), 2, 1),
+    (("fc2", "kernel"), 3, 1),
+    (("ffn", "B1"), 3, 1),
+    (("ffn", "A2"), 3, 2),
+)
+
+# FSDP rules: the big stacked block kernels, each sharded on its model-dim
+# ``d`` over `data` — disjoint from the TP dims so tp+fsdp compose to e.g.
+# fc1 P(None, data, model). Optimizer moments inherit via zeros_like, so
+# param + moment memory scales 1/data (ZeRO); XLA all-gathers weights
+# just-in-time or keeps partial matmuls + psum, whichever it schedules.
+_FSDP_RULES = (
+    (("qkv", "kernel"), 3, 1),
+    (("attn_out", "kernel"), 3, 2),
+    (("fc1", "kernel"), 3, 1),
+    (("fc2", "kernel"), 3, 2),
+)
+
+
 def param_shardings(mesh: Mesh, params, shard_head: bool = True,
-                    tp: bool = False):
+                    tp: bool = False, fsdp: bool = False):
     """Replicate everything; optionally shard the classification head's
     class dim over ``model`` (capability parity with the reference's
     model-parallel heads).
 
     ``tp=True`` (MeshConfig.tp) adds Megatron-style tensor parallelism over
-    the same ``model`` axis: the FFN hidden dim is sharded — fc1 kernel
-    (L, d, m) and bias (L, m) by columns, fc2 kernel (L, m, d) by rows —
-    together with the LoRA factors carrying that dim (B1 (L, m, r) rows,
-    A2 (L, r, m) columns), so both the factored deltas and the merged
-    B@A fold land on the local shard with no resharding. XLA derives the
-    column-parallel -> elementwise -> row-parallel + all-reduce schedule of
-    the classic TP MLP from these NamedShardings alone; attention stays
-    replicated (its fused qkv kernel interleaves q/k/v at thirds that don't
-    align with power-of-two shard boundaries — splitting it would buy an
-    all-to-all per layer)."""
+    the ``model`` axis and ``fsdp=True`` ZeRO-style kernel/moment sharding
+    over the ``data`` axis — see _TP_RULES/_FSDP_RULES. XLA derives every
+    collective schedule from these NamedShardings alone. Sharded dims must
+    divide evenly; guarded here with a clear error instead of GSPMD's
+    compile-time one."""
     replicated = NamedSharding(mesh, P())
     head_sh = NamedSharding(mesh, P(MODEL_AXIS, None))
     mp = mesh.shape[MODEL_AXIS]
-    # (path names to match, leaf ndim, spec) for the TP-sharded leaves;
-    # the sharded dim must divide evenly or GSPMD refuses at compile time,
-    # so guard here with a clear error instead
-    tp_rules = (
-        (("fc1", "kernel"), 3, P(None, None, MODEL_AXIS), 2),
-        (("fc1", "bias"), 2, P(None, MODEL_AXIS), 1),
-        (("fc2", "kernel"), 3, P(None, MODEL_AXIS, None), 1),
-        (("ffn", "B1"), 3, P(None, MODEL_AXIS, None), 1),
-        (("ffn", "A2"), 3, P(None, None, MODEL_AXIS), 2),
-    )
+    dp = mesh.shape[DATA_AXIS]
+    active = []
+    if tp and mp > 1:
+        active.append(("tp", _TP_RULES, MODEL_AXIS, mp))
+    if fsdp and dp > 1:
+        active.append(("fsdp", _FSDP_RULES, DATA_AXIS, dp))
 
     def place(path, leaf):
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
@@ -102,35 +121,38 @@ def param_shardings(mesh: Mesh, params, shard_head: bool = True,
                     f"by model axis {mp} — pick a model axis that divides "
                     f"num_class")
             return head_sh
-        if tp and mp > 1:
-            for keys, ndim, spec, dim in tp_rules:
+        spec = [None] * leaf.ndim
+        hit = False
+        for mode, rules, axis, size in active:
+            for keys, ndim, dim in rules:
                 if all(k in names for k in keys) and leaf.ndim == ndim:
-                    if leaf.shape[dim] % mp != 0:
+                    if leaf.shape[dim] % size != 0:
                         raise ValueError(
-                            f"tp=True: {'/'.join(names)} dim {dim} size "
-                            f"{leaf.shape[dim]} not divisible by model "
-                            f"axis {mp}")
-                    return NamedSharding(mesh, spec)
-        return replicated
+                            f"{mode}=True: {'/'.join(map(str, names))} dim "
+                            f"{dim} size {leaf.shape[dim]} not divisible "
+                            f"by {axis} axis {size}")
+                    spec[dim] = axis
+                    hit = True
+        return NamedSharding(mesh, P(*spec)) if hit else replicated
 
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def replicate(mesh: Mesh, tree, tp: bool = False):
+def replicate(mesh: Mesh, tree, tp: bool = False, fsdp: bool = False):
     """device_put a pytree with its param_shardings layout."""
-    sh = param_shardings(mesh, tree, tp=tp)
+    sh = param_shardings(mesh, tree, tp=tp, fsdp=fsdp)
     return jax.tree.map(jax.device_put, tree, sh)
 
 
-def placement(mesh: Optional[Mesh], tp: bool = False):
+def placement(mesh: Optional[Mesh], tp: bool = False, fsdp: bool = False):
     """(put_params, put_batch) pair for an optional mesh.
 
     With a mesh: put_params replicates a param pytree (head weight sharded
     over ``model`` when that axis is >1; FFN hidden dims too when
-    ``tp=True``) and put_batch shards arrays' leading dim over ``data``.
-    With mesh=None both are plain asarray/identity — so every engine can
-    take ``mesh=None`` and stay single-device with zero branching at call
-    sites.
+    ``tp=True``; block kernels over ``data`` when ``fsdp=True``) and
+    put_batch shards arrays' leading dim over ``data``. With mesh=None both
+    are plain asarray/identity — so every engine can take ``mesh=None`` and
+    stay single-device with zero branching at call sites.
     """
     import jax.numpy as jnp
 
@@ -143,4 +165,4 @@ def placement(mesh: Optional[Mesh], tp: bool = False):
     def put_batch(*arrays):
         return tuple(jax.device_put(jnp.asarray(a), bs) for a in arrays)
 
-    return (lambda t: replicate(mesh, t, tp=tp)), put_batch
+    return (lambda t: replicate(mesh, t, tp=tp, fsdp=fsdp)), put_batch

@@ -304,3 +304,43 @@ def test_tp_divisibility_error():
     mesh = make_mesh(MeshConfig(data=1, model=8))
     with pytest.raises(ValueError, match="not divisible"):
         param_shardings(mesh, params, tp=True)
+
+
+@pytest.mark.parametrize("mesh_shape,tp",
+                         [((8, 1), False), ((4, 2), True)],
+                         ids=["fsdp8", "fsdp4_tp2"])
+def test_fsdp_equivalence(mesh_shape, tp):
+    """MeshConfig(fsdp=True): block kernels (+ optimizer moments via
+    zeros_like inheritance) sharded over the ``data`` axis, alone and
+    composed with tp — single-device dynamics must be reproduced, and the
+    moments really are sharded (the ZeRO memory claim)."""
+    import dataclasses as _dc
+
+    from gslora_tpu.parallel.mesh import param_shardings
+
+    data = _data()
+    d, m = mesh_shape
+    cfg = _dc.replace(_cfg(), mesh=MeshConfig(data=d, model=m, tp=tp,
+                                              fsdp=True))
+
+    params0 = init_vit_params(jax.random.key(0), MODEL, LORA)
+    res_single = run_forget_training(_dc.replace(cfg, mesh=MeshConfig()),
+                                     params0, data, mesh=None)
+
+    params1 = init_vit_params(jax.random.key(0), MODEL, LORA)
+    mesh = make_mesh(cfg.mesh)
+    sh = param_shardings(mesh, params1, tp=tp, fsdp=True)
+    assert sh["base"]["blocks"]["qkv"]["kernel"].spec[1] == "data"
+    assert sh["base"]["blocks"]["fc2"]["kernel"].spec[2] == "data"
+    if tp:  # composed: fc1 (L, d, m) -> P(None, data, model)
+        assert sh["base"]["blocks"]["fc1"]["kernel"].spec[1:] == ("data",
+                                                                  "model")
+    res_mesh = run_forget_training(cfg, params1, data, mesh=mesh)
+
+    for a, b in zip(jax.tree_util.tree_leaves(res_single.state.lora),
+                    jax.tree_util.tree_leaves(res_mesh.state.lora)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    for hs, hm in zip(res_single.history, res_mesh.history):
+        for k in ("Test forget Accuracy", "Test remain Accuracy", "H_mean"):
+            assert abs(hs[k] - hm[k]) < 1e-3, (k, hs[k], hm[k])

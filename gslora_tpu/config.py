@@ -308,12 +308,20 @@ class MeshConfig:
     compose) over the ``data`` axis, ZeRO-style: optimizer moments inherit
     the sharding from zeros_like, so param + moment memory scales 1/data;
     XLA all-gathers weights just-in-time (or keeps partial matmuls + psum,
-    whichever it schedules)."""
+    whichever it schedules).
+
+    ``pp=True`` runs GPipe pipeline parallelism instead: the stacked layer
+    dim is sharded over ``model`` (depth/model layers per stage) and each
+    batch flows through as ``pp_micro`` microbatches via lax.ppermute
+    (parallel/pipeline.py). Excludes tp/fsdp (the stages own the model
+    axis). ``pp_micro=0`` defaults to the stage count."""
 
     data: int = -1  # -1 => all devices
     model: int = 1
     tp: bool = False  # shard FFN hidden dim over the model axis
     fsdp: bool = False  # shard block kernels (+moments) over the data axis
+    pp: bool = False  # GPipe stages over the model axis
+    pp_micro: int = 0  # microbatches per batch (0 => stage count)
 
 
 @dataclass
@@ -466,6 +474,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO-style: shard block kernels + optimizer "
                         "moments over the data mesh axis")
+    p.add_argument("--pp", action="store_true",
+                   help="GPipe pipeline parallelism: stage the stacked "
+                        "layers over the model mesh axis")
+    p.add_argument("--pp_micro", default=0, type=int,
+                   help="pipeline microbatches per batch (0 = stage count)")
     # TPU execution modes (gslora_tpu additions; defaults reference-faithful)
     p.add_argument("--lora_apply", default="factored", type=str,
                    choices=["factored", "merged"])
@@ -640,7 +653,9 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         ),
         mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model,
                         tp=getattr(args, "tp", False),
-                        fsdp=getattr(args, "fsdp", False)),
+                        fsdp=getattr(args, "fsdp", False),
+                        pp=getattr(args, "pp", False),
+                        pp_micro=getattr(args, "pp_micro", 0)),
         resume=args.resume, outdir=args.outdir,
         compute_dtype=args.compute_dtype,
         lora_apply="merged" if getattr(args, "fast", False)

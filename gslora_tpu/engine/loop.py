@@ -75,11 +75,14 @@ def step_cache(builder):
 
 @step_cache
 def _cached_step(model, lora, fcfg, optim_cfg, cdt, lora_apply,
-                 structure_mode, fused_batch, trainable):
+                 structure_mode, fused_batch, trainable, pp_key=None):
     """(optimizer, jitted step) cached per configuration: a 4-task CL run
     otherwise rebuilds the step closure per task and pays a fresh XLA
     compile each time (minutes on tunneled TPUs). All keys are frozen
-    dataclasses / strings, hence hashable."""
+    dataclasses / strings, hence hashable. ``pp_key`` carries the pipeline
+    registry state (parallel.mesh.pipeline_config is read at TRACE time,
+    so two runs differing only in pp must not share a traced step)."""
+    del pp_key  # cache-key only
     opt = make_optimizer(optim_cfg)
     step = make_forget_step(model, lora, fcfg, opt, compute_dtype=cdt,
                             lora_apply=lora_apply,
@@ -113,13 +116,15 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
     batch_sh = None
     from gslora_tpu.parallel.mesh import placement, set_attention_mesh
     set_attention_mesh(mesh)  # pallas attention shards per-device under it
-    if mesh is not None and cfg.mesh.tp and cfg.structure_mode == "prox":
+    if mesh is not None and (cfg.mesh.tp or cfg.mesh.pp) and \
+            cfg.structure_mode == "prox":
         # the prox step applies a Mosaic kernel directly to the LoRA
-        # factors; under tp those are model-axis-sharded and a Mosaic
+        # factors; under tp/pp those are model-axis-sharded and a Mosaic
         # custom call has no GSPMD partitioning rule
         raise ValueError("structure_mode='prox' is incompatible with "
-                         "MeshConfig.tp — use the default 'loss' mode")
-    put_params, _ = placement(mesh, tp=cfg.mesh.tp, fsdp=cfg.mesh.fsdp)
+                         "MeshConfig.tp/.pp — use the default 'loss' mode")
+    put_params, _ = placement(mesh, tp=cfg.mesh.tp, fsdp=cfg.mesh.fsdp,
+                              pp=cfg.mesh.pp, pp_micro=cfg.mesh.pp_micro)
     params = put_params(params)  # replicate; head over `model` axis if >1
     if mesh is not None:
         from gslora_tpu.parallel.mesh import batch_sharding
@@ -149,9 +154,13 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
     # dual-batch loss ("train all parameters",
     # train_own_forget_open.py:699-706 — the open-set recipe path)
     trainable = "lora" if params.get("lora") else "base"
+    # the traced step embeds the pipeline shard_map (mesh + microbatch
+    # count), so those must be part of the cache identity
+    pp_key = (cfg.mesh.pp_micro, tuple(sorted(mesh.shape.items()))) \
+        if mesh is not None and cfg.mesh.pp else None
     opt, step_fn = _cached_step(model, lora, fcfg, cfg.optim, cdt,
                                 cfg.lora_apply, cfg.structure_mode,
-                                cfg.fused_batch, trainable)
+                                cfg.fused_batch, trainable, pp_key=pp_key)
     state = ForgetState.create(params, opt, trainable=trainable)
     eval_step = make_eval_step(model, lora, compute_dtype=cdt)
 

@@ -318,6 +318,44 @@ def transformer_stack(x: jax.Array, blocks: Params, lora_tree: Params,
     else:
         layer_rngs = None
 
+    # scan over the stacked layer axis; scan_unroll trades code size for
+    # cross-layer fusion/pipelining (+40% on v5e at full unroll). 0 =
+    # auto: full unroll on accelerators, plain scan on CPU (keeps test
+    # compile times and the 8-device CPU mesh suite fast)
+    unroll = model.scan_unroll
+    if unroll == 0:
+        unroll = n_layers if jax.default_backend() != "cpu" else 1
+    unroll = max(1, min(unroll, n_layers))
+
+    # GPipe pipeline parallelism (MeshConfig.pp): registered at trace time
+    # by placement(pp=True); only the full stack pipelines — layer_range
+    # slices (LIRF) fall through to the scan, which stays correct on
+    # stage-sharded params (GSPMD gathers)
+    from gslora_tpu.parallel.mesh import pipeline_config
+    pcfg = pipeline_config()
+    if pcfg is not None and layer_range is None:
+        mesh_pp, n_micro = pcfg
+        stages = mesh_pp.shape["model"]
+        if stages > 1 and n_layers % stages == 0:
+            import dataclasses as _dc
+
+            from gslora_tpu.parallel.pipeline import pipeline_transformer
+
+            # XLA einsum attention inside the manual pipeline body (a
+            # nested pallas shard_map has no partitioning rule there)
+            model_pp = _dc.replace(model, attn_impl="xla")
+
+            def layer_fn(carry, blk, lora_blk, rr):
+                y = _attention_block(carry, blk, lora_blk, model_pp,
+                                     scaling, rr, deterministic)
+                return _ffn_block(y, blk, lora_blk, model_pp, scaling, rr,
+                                  deterministic)
+
+            return pipeline_transformer(x, blocks,
+                                        lora_tree if lora_tree else None,
+                                        layer_rngs, layer_fn, mesh_pp,
+                                        n_micro, unroll=unroll)
+
     def body(carry, xs):
         blk, lora_blk, rngs = xs
         rngs = list(rngs) if rngs is not None else None
@@ -329,15 +367,7 @@ def transformer_stack(x: jax.Array, blocks: Params, lora_tree: Params,
     xs = (blocks, lora_tree if lora_tree else None, layer_rngs)
     if model.remat:
         body = jax.checkpoint(body)
-    # scan over the stacked layer axis; scan_unroll trades code size for
-    # cross-layer fusion/pipelining (+40% on v5e at full unroll). 0 =
-    # auto: full unroll on accelerators, plain scan on CPU (keeps test
-    # compile times and the 8-device CPU mesh suite fast)
-    unroll = model.scan_unroll
-    if unroll == 0:
-        unroll = n_layers if jax.default_backend() != "cpu" else 1
-    x, _ = jax.lax.scan(body, x, xs, length=n_layers,
-                        unroll=max(1, min(unroll, n_layers)))
+    x, _ = jax.lax.scan(body, x, xs, length=n_layers, unroll=unroll)
     return x
 
 

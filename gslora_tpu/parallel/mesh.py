@@ -38,6 +38,26 @@ def attention_mesh() -> Optional[Mesh]:
     return _ATTENTION_MESH
 
 
+# Trace-time hint for GPipe pipeline parallelism (parallel/pipeline.py):
+# (mesh, n_micro) or None. Like the attention mesh, a shard_map needs the
+# concrete Mesh at trace time — registered by placement(pp=True); cached
+# jitted steps must key on it (engine.loop._cached_step does).
+_PIPELINE: Optional[tuple] = None
+
+
+def set_pipeline(mesh: Optional[Mesh], n_micro: int = 0) -> None:
+    global _PIPELINE
+    if mesh is None:
+        _PIPELINE = None
+    else:
+        stages = mesh.shape[MODEL_AXIS]
+        _PIPELINE = (mesh, n_micro if n_micro > 0 else stages)
+
+
+def pipeline_config() -> Optional[tuple]:
+    return _PIPELINE
+
+
 def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     cfg = cfg or MeshConfig()
     devices = devices if devices is not None else jax.devices()
@@ -90,7 +110,8 @@ _FSDP_RULES = (
 
 
 def param_shardings(mesh: Mesh, params, shard_head: bool = True,
-                    tp: bool = False, fsdp: bool = False):
+                    tp: bool = False, fsdp: bool = False,
+                    pp: bool = False):
     """Replicate everything; optionally shard the classification head's
     class dim over ``model`` (capability parity with the reference's
     model-parallel heads).
@@ -105,16 +126,32 @@ def param_shardings(mesh: Mesh, params, shard_head: bool = True,
     head_sh = NamedSharding(mesh, P(MODEL_AXIS, None))
     mp = mesh.shape[MODEL_AXIS]
     dp = mesh.shape[DATA_AXIS]
+    if pp and (tp or fsdp):
+        raise ValueError("pp excludes tp/fsdp: pipeline stages own the "
+                         "model axis and the pipeline body is a fully "
+                         "manual shard_map")
     active = []
     if tp and mp > 1:
         active.append(("tp", _TP_RULES, MODEL_AXIS, mp))
     if fsdp and dp > 1:
         active.append(("fsdp", _FSDP_RULES, DATA_AXIS, dp))
+    pp_sh = NamedSharding(mesh, P(MODEL_AXIS))
 
     def place(path, leaf):
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-        if shard_head and "head" in names and "weight" in names and \
-                leaf.ndim == 2 and mp > 1:
+        if pp and mp > 1 and ("blocks" in names or "ffn" in names or
+                              "attn" in names):
+            # pipeline stages: every stacked (L, ...) leaf sharded on the
+            # layer dim (blocks + the LoRA trees, whose top-level keys are
+            # "ffn"/"attn")
+            if leaf.shape[0] % mp != 0:
+                raise ValueError(
+                    f"pp: depth {leaf.shape[0]} of "
+                    f"{'/'.join(map(str, names))} not divisible by the "
+                    f"model axis ({mp} stages)")
+            return pp_sh
+        if shard_head and not pp and "head" in names and \
+                "weight" in names and leaf.ndim == 2 and mp > 1:
             if leaf.shape[0] % mp != 0:
                 raise ValueError(
                     f"head weight class dim {leaf.shape[0]} not divisible "
@@ -138,25 +175,31 @@ def param_shardings(mesh: Mesh, params, shard_head: bool = True,
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def replicate(mesh: Mesh, tree, tp: bool = False, fsdp: bool = False):
+def replicate(mesh: Mesh, tree, tp: bool = False, fsdp: bool = False,
+              pp: bool = False):
     """device_put a pytree with its param_shardings layout."""
-    sh = param_shardings(mesh, tree, tp=tp, fsdp=fsdp)
+    sh = param_shardings(mesh, tree, tp=tp, fsdp=fsdp, pp=pp)
     return jax.tree.map(jax.device_put, tree, sh)
 
 
-def placement(mesh: Optional[Mesh], tp: bool = False, fsdp: bool = False):
+def placement(mesh: Optional[Mesh], tp: bool = False, fsdp: bool = False,
+              pp: bool = False, pp_micro: int = 0):
     """(put_params, put_batch) pair for an optional mesh.
 
     With a mesh: put_params replicates a param pytree (head weight sharded
     over ``model`` when that axis is >1; FFN hidden dims too when
-    ``tp=True``; block kernels over ``data`` when ``fsdp=True``) and
-    put_batch shards arrays' leading dim over ``data``. With mesh=None both
-    are plain asarray/identity — so every engine can take ``mesh=None`` and
-    stay single-device with zero branching at call sites.
+    ``tp=True``; block kernels over ``data`` when ``fsdp=True``; the
+    stacked layer dim over ``model`` when ``pp=True`` — which also
+    registers the pipeline for the trace) and put_batch shards arrays'
+    leading dim over ``data``. With mesh=None both are plain asarray/
+    identity — so every engine can take ``mesh=None`` and stay
+    single-device with zero branching at call sites.
     """
     import jax.numpy as jnp
 
     set_attention_mesh(mesh)  # pallas attention shards per-device under it
+    set_pipeline(mesh if (pp and mesh is not None and
+                          mesh.shape[MODEL_AXIS] > 1) else None, pp_micro)
     if mesh is None:
         return (lambda t: t), \
             (lambda *a: tuple(jnp.asarray(x) for x in a))
@@ -165,4 +208,5 @@ def placement(mesh: Optional[Mesh], tp: bool = False, fsdp: bool = False):
     def put_batch(*arrays):
         return tuple(jax.device_put(jnp.asarray(a), bs) for a in arrays)
 
-    return (lambda t: replicate(mesh, t, tp=tp, fsdp=fsdp)), put_batch
+    return (lambda t: replicate(mesh, t, tp=tp, fsdp=fsdp, pp=pp)), \
+        put_batch

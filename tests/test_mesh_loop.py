@@ -344,3 +344,52 @@ def test_fsdp_equivalence(mesh_shape, tp):
     for hs, hm in zip(res_single.history, res_mesh.history):
         for k in ("Test forget Accuracy", "Test remain Accuracy", "H_mean"):
             assert abs(hs[k] - hm[k]) < 1e-3, (k, hs[k], hm[k])
+
+
+@pytest.mark.parametrize("mesh_shape,depth,micro",
+                         [((4, 2), 2, 2), ((2, 4), 4, 2)],
+                         ids=["dp4pp2", "dp2pp4"])
+def test_pp_equivalence(mesh_shape, depth, micro):
+    """MeshConfig(pp=True): GPipe pipeline parallelism — stacked layer dim
+    sharded over `model`, microbatches flow stage-to-stage via ppermute
+    inside one shard_map (parallel/pipeline.py). No ViT layer op reduces
+    over the batch dim, so the pipelined training dynamics must match
+    single-device to fp tolerance."""
+    import dataclasses as _dc
+
+    from gslora_tpu.parallel.mesh import param_shardings
+
+    model = _dc.replace(MODEL, depth=depth)
+    data = _data()
+    d, m = mesh_shape
+    cfg = _dc.replace(_cfg(), model=model,
+                      mesh=MeshConfig(data=d, model=m, pp=True,
+                                      pp_micro=micro))
+
+    params0 = init_vit_params(jax.random.key(0), model, LORA)
+    res_single = run_forget_training(_dc.replace(cfg, mesh=MeshConfig()),
+                                     params0, data, mesh=None)
+
+    params1 = init_vit_params(jax.random.key(0), model, LORA)
+    mesh = make_mesh(cfg.mesh)
+    sh = param_shardings(mesh, params1, pp=True)
+    assert sh["base"]["blocks"]["qkv"]["kernel"].spec[0] == "model"
+    assert sh["lora"]["ffn"]["B1"].spec[0] == "model"
+    res_mesh = run_forget_training(cfg, params1, data, mesh=mesh)
+
+    for a, b in zip(jax.tree_util.tree_leaves(res_single.state.lora),
+                    jax.tree_util.tree_leaves(res_mesh.state.lora)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    for hs, hm in zip(res_single.history, res_mesh.history):
+        for k in ("Test forget Accuracy", "Test remain Accuracy", "H_mean"):
+            assert abs(hs[k] - hm[k]) < 1e-3, (k, hs[k], hm[k])
+
+
+def test_pp_excludes_tp_fsdp():
+    from gslora_tpu.parallel.mesh import param_shardings
+
+    params = init_vit_params(jax.random.key(0), MODEL, LORA)
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    with pytest.raises(ValueError, match="pp excludes"):
+        param_shardings(mesh, params, pp=True, tp=True)

@@ -176,3 +176,24 @@ def test_topk_accuracy_matches_torch():
     pred1 = logits.argmax(1)
     want1 = 100.0 * (pred1[8:] == labels2[8:]).mean()
     np.testing.assert_allclose(float(g1), want1, atol=1e-4)
+
+
+def test_parallelism_flags_parse_into_mesh_config():
+    """--tp/--fsdp/--pp/--pp_micro land in MeshConfig (the engines read
+    cfg.mesh.* at placement time)."""
+    from gslora_tpu.config import build_parser, config_from_args
+
+    a = build_parser().parse_args(
+        ["-b", "16", "--mesh_data", "4", "--mesh_model", "2", "--tp",
+         "--fsdp"])
+    cfg = config_from_args(a)
+    assert cfg.mesh == type(cfg.mesh)(data=4, model=2, tp=True, fsdp=True)
+
+    a = build_parser().parse_args(
+        ["-b", "16", "--mesh_model", "2", "--pp", "--pp_micro", "3"])
+    cfg = config_from_args(a)
+    assert cfg.mesh.pp and cfg.mesh.pp_micro == 3 and not cfg.mesh.tp
+
+    a = build_parser().parse_args(["-b", "16"])
+    cfg = config_from_args(a)
+    assert not (cfg.mesh.tp or cfg.mesh.fsdp or cfg.mesh.pp)

@@ -163,6 +163,14 @@ def run_distill_task(cfg: RunConfig, params, teacher_params,
     cdt = _dtype(cfg)
     logger = logger or MetricLogger()
     from gslora_tpu.parallel.mesh import placement
+    if cfg.mesh.pp:
+        # the baseline steps are cached/traced outside the pipeline
+        # registry's keying; rather than silently ignoring the flag
+        # (placement() here never registers a pipeline), fail loudly
+        raise ValueError(
+            "MeshConfig.pp is supported by the GS-LoRA forget and "
+            "pretrain engines only; baseline runners support "
+            "dp/tp/fsdp")
     put_params, put_batch = placement(mesh, tp=cfg.mesh.tp, fsdp=cfg.mesh.fsdp)
     params = put_params(params)
     teacher_params = put_params(teacher_params)

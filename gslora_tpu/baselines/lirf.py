@@ -211,6 +211,14 @@ def run_lirf_task(cfg: RunConfig, params, forget_loader_factory: Callable,
 
     cdt = _dtype(cfg)
     logger = logger or MetricLogger()
+    if cfg.mesh.pp:
+        # the baseline steps are cached/traced outside the pipeline
+        # registry's keying; rather than silently ignoring the flag
+        # (placement() here never registers a pipeline), fail loudly
+        raise ValueError(
+            "MeshConfig.pp is supported by the GS-LoRA forget and "
+            "pretrain engines only; baseline runners support "
+            "dp/tp/fsdp")
     put_params, put_batch = placement(mesh, tp=cfg.mesh.tp, fsdp=cfg.mesh.fsdp)
     b = cfg.baseline
     half = cfg.model.depth // 2

@@ -140,6 +140,14 @@ def run_regularization_task(cfg: RunConfig, params, train_loader_factory,
 
     cdt = _dtype(cfg)
     logger = logger or MetricLogger()
+    if cfg.mesh.pp:
+        # the baseline steps are cached/traced outside the pipeline
+        # registry's keying; rather than silently ignoring the flag
+        # (placement() here never registers a pipeline), fail loudly
+        raise ValueError(
+            "MeshConfig.pp is supported by the GS-LoRA forget and "
+            "pretrain engines only; baseline runners support "
+            "dp/tp/fsdp")
     put_params, put_batch = placement(mesh, tp=cfg.mesh.tp, fsdp=cfg.mesh.fsdp)
     params = put_params(params)
     anchors = [put_params(a) for a in anchors]

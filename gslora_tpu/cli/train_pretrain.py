@@ -51,7 +51,9 @@ def main(argv=None):
                 f"batch_size {cfg.data.batch_size} not divisible by the "
                 f"mesh data axis ({mesh.shape.get('data', 1)})")
     from gslora_tpu.parallel.mesh import placement
-    put_params, put_batch = placement(mesh, tp=cfg.mesh.tp, fsdp=cfg.mesh.fsdp)
+    put_params, put_batch = placement(mesh, tp=cfg.mesh.tp,
+                                      fsdp=cfg.mesh.fsdp, pp=cfg.mesh.pp,
+                                      pp_micro=cfg.mesh.pp_micro)
     params = put_params(params)
 
     opt = make_optimizer(cfg.optim)

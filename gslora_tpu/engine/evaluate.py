@@ -19,15 +19,25 @@ from gslora_tpu.models.vit import vit_apply
 import functools
 
 
-@functools.lru_cache(maxsize=32)
 def make_eval_step(model: ViTConfig, lora: LoraConfig,
                    compute_dtype=jnp.bfloat16):
     """eval_step(params, x, y) -> (n_correct, n_total) for one batch.
 
-    Cached per (model, lora, dtype) — configs are frozen dataclasses, so
-    repeated construction (per CL task, per runner) returns the SAME
-    jitted function and reuses its XLA executables instead of recompiling
-    (minutes each on tunneled TPUs)."""
+    Cached per (model, lora, dtype, pipeline registry) — configs are
+    frozen dataclasses, so repeated construction (per CL task, per runner)
+    returns the SAME jitted function and reuses its XLA executables
+    instead of recompiling (minutes each on tunneled TPUs). The pipeline
+    key matters because the traced forward embeds the pp shard_map
+    (parallel.mesh.pipeline_config is read at trace time)."""
+    from gslora_tpu.parallel.mesh import pipeline_cache_key
+    return _make_eval_step(model, lora, compute_dtype,
+                           pipeline_cache_key())
+
+
+@functools.lru_cache(maxsize=32)
+def _make_eval_step(model: ViTConfig, lora: LoraConfig,
+                    compute_dtype, pp_key):
+    del pp_key  # cache-key only
     if model.head_type == "None":
         # vit_apply returns the bare embedding (no logits) for headless
         # configs; the tuple unpack below would mis-split it along axis 0

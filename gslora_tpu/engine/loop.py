@@ -117,10 +117,13 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
     from gslora_tpu.parallel.mesh import placement, set_attention_mesh
     set_attention_mesh(mesh)  # pallas attention shards per-device under it
     if mesh is not None and (cfg.mesh.tp or cfg.mesh.pp) and \
-            cfg.structure_mode == "prox":
+            cfg.structure_mode == "prox" and \
+            mesh.shape.get("model", 1) > 1:
         # the prox step applies a Mosaic kernel directly to the LoRA
         # factors; under tp/pp those are model-axis-sharded and a Mosaic
-        # custom call has no GSPMD partitioning rule
+        # custom call has no GSPMD partitioning rule (with a model axis of
+        # 1 the factors stay replicated and prox works — placement() also
+        # rejects tp/pp there as a no-op)
         raise ValueError("structure_mode='prox' is incompatible with "
                          "MeshConfig.tp/.pp — use the default 'loss' mode")
     put_params, _ = placement(mesh, tp=cfg.mesh.tp, fsdp=cfg.mesh.fsdp,
@@ -155,9 +158,10 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
     # train_own_forget_open.py:699-706 — the open-set recipe path)
     trainable = "lora" if params.get("lora") else "base"
     # the traced step embeds the pipeline shard_map (mesh + microbatch
-    # count), so those must be part of the cache identity
-    pp_key = (cfg.mesh.pp_micro, tuple(sorted(mesh.shape.items()))) \
-        if mesh is not None and cfg.mesh.pp else None
+    # count), so those must be part of the cache identity; placement()
+    # above already registered the pipeline, so read the normalized key
+    from gslora_tpu.parallel.mesh import pipeline_cache_key
+    pp_key = pipeline_cache_key()
     opt, step_fn = _cached_step(model, lora, fcfg, cfg.optim, cdt,
                                 cfg.lora_apply, cfg.structure_mode,
                                 cfg.fused_batch, trainable, pp_key=pp_key)

@@ -351,6 +351,12 @@ def transformer_stack(x: jax.Array, blocks: Params, lora_tree: Params,
                 return _ffn_block(y, blk, lora_blk, model_pp, scaling, rr,
                                   deterministic)
 
+            if model.remat:
+                # rematerialize per layer inside the pipeline body too —
+                # without this, remat would silently be dropped on the pp
+                # path (each stage would keep all M+S-1 ticks' activations)
+                layer_fn = jax.checkpoint(layer_fn)
+
             return pipeline_transformer(x, blocks,
                                         lora_tree if lora_tree else None,
                                         layer_rngs, layer_fn, mesh_pp,

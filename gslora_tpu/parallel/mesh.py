@@ -58,6 +58,21 @@ def pipeline_config() -> Optional[tuple]:
     return _PIPELINE
 
 
+def pipeline_cache_key() -> Optional[tuple]:
+    """Hashable identity of the registered pipeline (None when unset).
+
+    pipeline_config() is read at TRACE time, so any lru-cached jitted-step
+    builder whose trace embeds the pipeline shard_map (engine.loop's train
+    step, make_eval_step, the prototype embed) must fold this into its
+    cache key — otherwise two runs differing only in pp/pp_micro silently
+    share one traced executable."""
+    if _PIPELINE is None:
+        return None
+    mesh, n_micro = _PIPELINE
+    return (n_micro, mesh.axis_names, mesh.devices.shape,
+            tuple(d.id for d in mesh.devices.flat))
+
+
 def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     cfg = cfg or MeshConfig()
     devices = devices if devices is not None else jax.devices()
@@ -196,6 +211,25 @@ def placement(mesh: Optional[Mesh], tp: bool = False, fsdp: bool = False,
     single-device with zero branching at call sites.
     """
     import jax.numpy as jnp
+
+    # a requested parallelism the mesh cannot express would otherwise be a
+    # SILENT no-op (everything stays replicated) — fail loudly instead
+    if mesh is None:
+        if tp or fsdp or pp:
+            raise ValueError(
+                "tp/fsdp/pp need a device mesh — run with --dp and a mesh "
+                "that has the axis to shard over (--mesh_model N for "
+                "tp/pp; a data axis > 1 for fsdp)")
+    else:
+        if (tp or pp) and mesh.shape[MODEL_AXIS] <= 1:
+            raise ValueError(
+                f"{'tp' if tp else 'pp'}=True is a no-op on a model axis "
+                f"of 1 — set --mesh_model N (mesh is "
+                f"{dict(zip(mesh.axis_names, mesh.devices.shape))})")
+        if fsdp and mesh.shape[DATA_AXIS] <= 1:
+            raise ValueError(
+                f"fsdp=True is a no-op on a data axis of 1 (mesh is "
+                f"{dict(zip(mesh.axis_names, mesh.devices.shape))})")
 
     set_attention_mesh(mesh)  # pallas attention shards per-device under it
     set_pipeline(mesh if (pp and mesh is not None and

@@ -393,3 +393,133 @@ def test_pp_excludes_tp_fsdp():
     mesh = make_mesh(MeshConfig(data=4, model=2))
     with pytest.raises(ValueError, match="pp excludes"):
         param_shardings(mesh, params, pp=True, tp=True)
+
+
+def test_pp_dropout_smoke():
+    """The pipeline path every real pp training run hits: dropout > 0, so
+    pipeline_transformer's fold_in(microbatch) RNG branch is exercised
+    through a full run_forget_training (microbatch masks legitimately
+    differ from single-device partitioning, so no equivalence — finite
+    dynamics + the LoRA params actually moving is the contract)."""
+    import dataclasses as _dc
+
+    model = _dc.replace(MODEL, depth=4, dropout=0.1, emb_dropout=0.1)
+    data = _data()
+    cfg = _dc.replace(_cfg(), model=model, num_epoch=1,
+                      mesh=MeshConfig(data=4, model=2, pp=True, pp_micro=2))
+    params = init_vit_params(jax.random.key(0), model, LORA)
+    lora0 = jax.tree.map(np.asarray, params["lora"])
+    res = run_forget_training(cfg, params, data, mesh=make_mesh(cfg.mesh))
+    assert np.isfinite(res.best_h)
+    for h in res.history:
+        for k in ("Test forget Accuracy", "Test remain Accuracy", "H_mean"):
+            assert np.isfinite(h[k]), (k, h)
+    moved = any(
+        not np.allclose(np.asarray(a), b)
+        for a, b in zip(jax.tree_util.tree_leaves(res.state.lora),
+                        jax.tree_util.tree_leaves(lora0)))
+    assert moved, "pp+dropout step did not update the LoRA params"
+
+
+def test_pp_remat_grad_equivalence():
+    """model.remat must apply INSIDE the pipeline body (review finding:
+    the early return used to skip the jax.checkpoint wrap): gradients
+    through the rematerialized pipeline equal the non-remat pipeline's."""
+    import dataclasses as _dc
+
+    from gslora_tpu.models.vit import vit_apply
+    from gslora_tpu.parallel.mesh import (batch_sharding, replicate,
+                                          set_pipeline)
+
+    model = _dc.replace(MODEL, depth=4)
+    model_r = _dc.replace(model, remat=True)
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    params = replicate(mesh, init_vit_params(jax.random.key(0), model, LORA),
+                       pp=True)
+    x = jax.device_put(
+        np.random.RandomState(0).rand(8, 3, 16, 16).astype(np.float32),
+        batch_sharding(mesh))
+
+    def loss(mcfg):
+        def f(lora_tree, base, xb):
+            emb = vit_apply({"base": base, "lora": lora_tree}, xb, None,
+                            mcfg, LORA, train=False,
+                            compute_dtype=jnp.float32)
+            return jnp.sum(emb ** 2)
+        return jax.jit(jax.grad(f))
+
+    set_pipeline(mesh, 2)
+    try:
+        g_plain = loss(model)(params["lora"], params["base"], x)
+        g_remat = loss(model_r)(params["lora"], params["base"], x)
+    finally:
+        set_pipeline(None)
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_parallel_flags_reject_inert_mesh():
+    """tp/pp on a model axis of 1, fsdp on a data axis of 1, or any of
+    them without a mesh would silently no-op (everything replicated) —
+    placement() must fail loudly instead (review finding)."""
+    from gslora_tpu.parallel.mesh import placement
+
+    with pytest.raises(ValueError, match="need a device mesh"):
+        placement(None, tp=True)
+    mesh_dp = make_mesh(MeshConfig(data=8, model=1))
+    with pytest.raises(ValueError, match="model axis"):
+        placement(mesh_dp, tp=True)
+    with pytest.raises(ValueError, match="model axis"):
+        placement(mesh_dp, pp=True)
+    mesh_mp = make_mesh(MeshConfig(data=1, model=8))
+    with pytest.raises(ValueError, match="data axis"):
+        placement(mesh_mp, fsdp=True)
+
+
+def test_eval_step_cache_keys_on_pipeline():
+    """make_eval_step's lru cache must key on the pipeline registry: two
+    runs differing only in pp/pp_micro must NOT share a traced eval step
+    (review finding — the train step was protected, eval was not)."""
+    from gslora_tpu.engine.evaluate import make_eval_step
+    from gslora_tpu.engine.prototypes import _embed_builder
+    from gslora_tpu.parallel.mesh import set_pipeline
+
+    e_none = make_eval_step(MODEL, LORA, jnp.float32)
+    p_none = _embed_builder(MODEL, LORA, jnp.float32)
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    set_pipeline(mesh, 2)
+    try:
+        e_pp2 = make_eval_step(MODEL, LORA, jnp.float32)
+        p_pp2 = _embed_builder(MODEL, LORA, jnp.float32)
+        set_pipeline(mesh, 4)
+        e_pp4 = make_eval_step(MODEL, LORA, jnp.float32)
+    finally:
+        set_pipeline(None)
+    assert e_pp2 is not e_none and e_pp4 is not e_pp2
+    assert p_pp2 is not p_none
+    assert make_eval_step(MODEL, LORA, jnp.float32) is e_none
+
+
+def test_baselines_reject_pp():
+    """--pp reaching a baseline runner must raise, not silently train
+    unpipelined (review finding: their placement() calls never register
+    a pipeline)."""
+    import dataclasses as _dc
+
+    from gslora_tpu.baselines.distill import run_distill_task
+    from gslora_tpu.baselines.regularization import run_regularization_task
+    from gslora_tpu.config import BaselineConfig
+
+    cfg = _dc.replace(_cfg(), baseline=BaselineConfig(method="der"),
+                      mesh=MeshConfig(data=4, model=2, pp=True))
+    params = init_vit_params(jax.random.key(0), MODEL, LORA)
+    with pytest.raises(ValueError, match="pp is supported"):
+        run_distill_task(cfg, params, params, lambda: iter([]), None,
+                         lambda: iter([]), lambda: iter([]), mesh=None)
+    with pytest.raises(ValueError, match="pp is supported"):
+        run_regularization_task(cfg, params, lambda: iter([]),
+                                lambda: iter([]), lambda: iter([]),
+                                lam=0.0, anchors=[], importances=[],
+                                mesh=None)

@@ -171,7 +171,9 @@ def run_distill_task(cfg: RunConfig, params, teacher_params,
             "MeshConfig.pp is supported by the GS-LoRA forget and "
             "pretrain engines only; baseline runners support "
             "dp/tp/fsdp")
-    put_params, put_batch = placement(mesh, tp=cfg.mesh.tp, fsdp=cfg.mesh.fsdp)
+    put_params, put_batch = placement(mesh, tp=cfg.mesh.tp,
+                                      fsdp=cfg.mesh.fsdp,
+                                      sp=cfg.mesh.sp)
     params = put_params(params)
     teacher_params = put_params(teacher_params)
     hp_key = {k: hp[k] for k in _HP_KEYS.get(method, tuple(hp))}

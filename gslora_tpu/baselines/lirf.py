@@ -219,7 +219,9 @@ def run_lirf_task(cfg: RunConfig, params, forget_loader_factory: Callable,
             "MeshConfig.pp is supported by the GS-LoRA forget and "
             "pretrain engines only; baseline runners support "
             "dp/tp/fsdp")
-    put_params, put_batch = placement(mesh, tp=cfg.mesh.tp, fsdp=cfg.mesh.fsdp)
+    put_params, put_batch = placement(mesh, tp=cfg.mesh.tp,
+                                      fsdp=cfg.mesh.fsdp,
+                                      sp=cfg.mesh.sp)
     b = cfg.baseline
     half = cfg.model.depth // 2
     if carry is not None:

@@ -148,7 +148,9 @@ def run_regularization_task(cfg: RunConfig, params, train_loader_factory,
             "MeshConfig.pp is supported by the GS-LoRA forget and "
             "pretrain engines only; baseline runners support "
             "dp/tp/fsdp")
-    put_params, put_batch = placement(mesh, tp=cfg.mesh.tp, fsdp=cfg.mesh.fsdp)
+    put_params, put_batch = placement(mesh, tp=cfg.mesh.tp,
+                                      fsdp=cfg.mesh.fsdp,
+                                      sp=cfg.mesh.sp)
     params = put_params(params)
     anchors = [put_params(a) for a in anchors]
     importances = [put_params(i) for i in importances]

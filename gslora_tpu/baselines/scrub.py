@@ -148,7 +148,9 @@ def run_scrub_task(cfg: RunConfig, params, forget_loader_factory: Callable,
             "MeshConfig.pp is supported by the GS-LoRA forget and "
             "pretrain engines only; baseline runners support "
             "dp/tp/fsdp")
-    put_params, put_batch = placement(mesh, tp=cfg.mesh.tp, fsdp=cfg.mesh.fsdp)
+    put_params, put_batch = placement(mesh, tp=cfg.mesh.tp,
+                                      fsdp=cfg.mesh.fsdp,
+                                      sp=cfg.mesh.sp)
     params = put_params(params)
     # the sgda optimizer replaces the main one (cl.py:860-879); its state
     # is re-initialized per task like the reference's re-created optimizer

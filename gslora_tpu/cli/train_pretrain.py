@@ -53,7 +53,8 @@ def main(argv=None):
     from gslora_tpu.parallel.mesh import placement
     put_params, put_batch = placement(mesh, tp=cfg.mesh.tp,
                                       fsdp=cfg.mesh.fsdp, pp=cfg.mesh.pp,
-                                      pp_micro=cfg.mesh.pp_micro)
+                                      pp_micro=cfg.mesh.pp_micro,
+                                      sp=cfg.mesh.sp)
     params = put_params(params)
 
     opt = make_optimizer(cfg.optim)

@@ -314,7 +314,16 @@ class MeshConfig:
     dim is sharded over ``model`` (depth/model layers per stage) and each
     batch flows through as ``pp_micro`` microbatches via lax.ppermute
     (parallel/pipeline.py). Excludes tp/fsdp (the stages own the model
-    axis). ``pp_micro=0`` defaults to the stage count."""
+    axis). ``pp_micro=0`` defaults to the stage count.
+
+    ``sp=True`` adds Megatron-style sequence parallelism: the token dim of
+    the block activations is sharded over ``model`` at layer boundaries
+    (pure with_sharding_constraints — no param layout change), so the
+    LN/dropout/residual elementwise work runs token-sharded and GSPMD
+    derives the all-gather / reduce-scatter pairs around attention and the
+    tp-sharded FFN (the classic tp+sp pairing). Composes with tp/fsdp,
+    excludes pp. GSPMD pads the non-divisible 197-token sequence
+    internally."""
 
     data: int = -1  # -1 => all devices
     model: int = 1
@@ -322,6 +331,7 @@ class MeshConfig:
     fsdp: bool = False  # shard block kernels (+moments) over the data axis
     pp: bool = False  # GPipe stages over the model axis
     pp_micro: int = 0  # microbatches per batch (0 => stage count)
+    sp: bool = False  # shard activation token dim over the model axis
 
 
 @dataclass
@@ -479,6 +489,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "layers over the model mesh axis")
     p.add_argument("--pp_micro", default=0, type=int,
                    help="pipeline microbatches per batch (0 = stage count)")
+    p.add_argument("--sp", action="store_true",
+                   help="sequence parallelism: shard the activation token "
+                        "dim over the model mesh axis between matmul "
+                        "regions (composes with --tp/--fsdp)")
     # TPU execution modes (gslora_tpu additions; defaults reference-faithful)
     p.add_argument("--lora_apply", default="factored", type=str,
                    choices=["factored", "merged"])
@@ -655,7 +669,8 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
                         tp=getattr(args, "tp", False),
                         fsdp=getattr(args, "fsdp", False),
                         pp=getattr(args, "pp", False),
-                        pp_micro=getattr(args, "pp_micro", 0)),
+                        pp_micro=getattr(args, "pp_micro", 0),
+                        sp=getattr(args, "sp", False)),
         resume=args.resume, outdir=args.outdir,
         compute_dtype=args.compute_dtype,
         lora_apply="merged" if getattr(args, "fast", False)

@@ -26,18 +26,18 @@ def make_eval_step(model: ViTConfig, lora: LoraConfig,
     Cached per (model, lora, dtype, pipeline registry) — configs are
     frozen dataclasses, so repeated construction (per CL task, per runner)
     returns the SAME jitted function and reuses its XLA executables
-    instead of recompiling (minutes each on tunneled TPUs). The pipeline
-    key matters because the traced forward embeds the pp shard_map
-    (parallel.mesh.pipeline_config is read at trace time)."""
-    from gslora_tpu.parallel.mesh import pipeline_cache_key
-    return _make_eval_step(model, lora, compute_dtype,
-                           pipeline_cache_key())
+    instead of recompiling (minutes each on tunneled TPUs). The SPMD
+    registry key matters because the traced forward embeds the pipeline
+    shard_map / sequence-sharding constraints (both read at trace
+    time)."""
+    from gslora_tpu.parallel.mesh import spmd_cache_key
+    return _make_eval_step(model, lora, compute_dtype, spmd_cache_key())
 
 
 @functools.lru_cache(maxsize=32)
 def _make_eval_step(model: ViTConfig, lora: LoraConfig,
-                    compute_dtype, pp_key):
-    del pp_key  # cache-key only
+                    compute_dtype, spmd_key):
+    del spmd_key  # cache-key only
     if model.head_type == "None":
         # vit_apply returns the bare embedding (no logits) for headless
         # configs; the tuple unpack below would mis-split it along axis 0

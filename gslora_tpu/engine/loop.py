@@ -69,20 +69,33 @@ def step_cache(builder):
     fresh XLA compile per task (minutes on tunneled TPUs). Every engine /
     baseline cached-step builder uses this one decorator so the caching
     contract (size, keying rules: hashable frozen dataclasses + scalars
-    only) lives in one place."""
-    return functools.lru_cache(maxsize=16)(builder)
+    only) lives in one place.
+
+    The trace-time SPMD registry identity (pipeline + sequence sharding,
+    parallel.mesh.spmd_cache_key) is folded into the key automatically:
+    every builder here jits a step whose trace reads those registries, so
+    two runs differing only in pp/pp_micro/sp must not share a traced
+    step."""
+    cached = functools.lru_cache(maxsize=16)(
+        lambda _spmd_key, args, kwargs: builder(*args, **dict(kwargs)))
+
+    @functools.wraps(builder)
+    def wrapper(*args, **kwargs):
+        from gslora_tpu.parallel.mesh import spmd_cache_key
+        return cached(spmd_cache_key(), args,
+                      tuple(sorted(kwargs.items())))
+
+    return wrapper
 
 
 @step_cache
 def _cached_step(model, lora, fcfg, optim_cfg, cdt, lora_apply,
-                 structure_mode, fused_batch, trainable, pp_key=None):
+                 structure_mode, fused_batch, trainable):
     """(optimizer, jitted step) cached per configuration: a 4-task CL run
     otherwise rebuilds the step closure per task and pays a fresh XLA
     compile each time (minutes on tunneled TPUs). All keys are frozen
-    dataclasses / strings, hence hashable. ``pp_key`` carries the pipeline
-    registry state (parallel.mesh.pipeline_config is read at TRACE time,
-    so two runs differing only in pp must not share a traced step)."""
-    del pp_key  # cache-key only
+    dataclasses / strings, hence hashable (step_cache adds the SPMD
+    registry key)."""
     opt = make_optimizer(optim_cfg)
     step = make_forget_step(model, lora, fcfg, opt, compute_dtype=cdt,
                             lora_apply=lora_apply,
@@ -127,7 +140,8 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
         raise ValueError("structure_mode='prox' is incompatible with "
                          "MeshConfig.tp/.pp — use the default 'loss' mode")
     put_params, _ = placement(mesh, tp=cfg.mesh.tp, fsdp=cfg.mesh.fsdp,
-                              pp=cfg.mesh.pp, pp_micro=cfg.mesh.pp_micro)
+                              pp=cfg.mesh.pp, pp_micro=cfg.mesh.pp_micro,
+                              sp=cfg.mesh.sp)
     params = put_params(params)  # replicate; head over `model` axis if >1
     if mesh is not None:
         from gslora_tpu.parallel.mesh import batch_sharding
@@ -157,14 +171,11 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
     # dual-batch loss ("train all parameters",
     # train_own_forget_open.py:699-706 — the open-set recipe path)
     trainable = "lora" if params.get("lora") else "base"
-    # the traced step embeds the pipeline shard_map (mesh + microbatch
-    # count), so those must be part of the cache identity; placement()
-    # above already registered the pipeline, so read the normalized key
-    from gslora_tpu.parallel.mesh import pipeline_cache_key
-    pp_key = pipeline_cache_key()
+    # step_cache folds the SPMD registry (pipeline/sequence sharding,
+    # registered by placement() above) into the cache key
     opt, step_fn = _cached_step(model, lora, fcfg, cfg.optim, cdt,
                                 cfg.lora_apply, cfg.structure_mode,
-                                cfg.fused_batch, trainable, pp_key=pp_key)
+                                cfg.fused_batch, trainable)
     state = ForgetState.create(params, opt, trainable=trainable)
     eval_step = make_eval_step(model, lora, compute_dtype=cdt)
 

@@ -24,17 +24,18 @@ import functools
 def _embed_builder(model: ViTConfig, lora: LoraConfig, compute_dtype):
     """Cached jitted embed (params passed as an argument so per-task
     parameter updates don't retrace): per-call closures would recompile
-    on every CL task (minutes each on tunneled TPUs). Keyed on the
-    pipeline registry too — the traced forward embeds the pp shard_map."""
-    from gslora_tpu.parallel.mesh import pipeline_cache_key
+    on every CL task (minutes each on tunneled TPUs). Keyed on the SPMD
+    registry too — the traced forward embeds the pipeline shard_map /
+    sequence-sharding constraints."""
+    from gslora_tpu.parallel.mesh import spmd_cache_key
     return _embed_builder_cached(model, lora, compute_dtype,
-                                 pipeline_cache_key())
+                                 spmd_cache_key())
 
 
 @functools.lru_cache(maxsize=16)
 def _embed_builder_cached(model: ViTConfig, lora: LoraConfig, compute_dtype,
-                          pp_key):
-    del pp_key  # cache-key only
+                          spmd_key):
+    del spmd_key  # cache-key only
 
     @jax.jit
     def embed(params, x):

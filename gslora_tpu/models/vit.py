@@ -201,11 +201,17 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
         # loop registered a mesh (the kernel then runs per-shard under
         # jax.shard_map); an unregistered multi-device context falls back
         # to the einsums, which shard batch-wise for free.
-        from gslora_tpu.parallel.mesh import attention_mesh
+        from gslora_tpu.parallel.mesh import attention_mesh, sequence_mesh
         single = jax.device_count() == 1
         impl = "pallas" if (jax.default_backend() != "cpu" and
                             (single or attention_mesh() is not None)) \
             else "xla"
+        if sequence_mesh() is not None:
+            # under sequence parallelism the activations are token-sharded
+            # over `model`; the pallas shard_map (data axis only) would
+            # just all-gather them back — the XLA einsums let GSPMD keep
+            # the sequence sharding through the softmax instead
+            impl = "xla"
     if impl == "dpa":
         # jax.nn.dot_product_attention ((B,N,H,D) layout): faster in
         # isolation on v5e but SLOWER inside the full fused train step
@@ -362,13 +368,21 @@ def transformer_stack(x: jax.Array, blocks: Params, lora_tree: Params,
                                         layer_rngs, layer_fn, mesh_pp,
                                         n_micro, unroll=unroll)
 
+    # Megatron-style sequence parallelism (MeshConfig.sp, registered by
+    # placement(sp=True)): token dim sharded over `model` at the layer
+    # boundaries — the LN/dropout/residual VPU work runs token-sharded and
+    # GSPMD derives the all-gather / reduce-scatter pairs around attention
+    # and the (optionally tp-sharded) FFN matmuls. Identity when unset.
+    from gslora_tpu.parallel.mesh import sequence_sharding_constraint
+    x = sequence_sharding_constraint(x)
+
     def body(carry, xs):
         blk, lora_blk, rngs = xs
         rngs = list(rngs) if rngs is not None else None
         y = _attention_block(carry, blk, lora_blk, model, scaling, rngs,
                              deterministic)
         y = _ffn_block(y, blk, lora_blk, model, scaling, rngs, deterministic)
-        return y, None
+        return sequence_sharding_constraint(y), None
 
     xs = (blocks, lora_tree if lora_tree else None, layer_rngs)
     if model.remat:

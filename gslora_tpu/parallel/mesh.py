@@ -69,8 +69,52 @@ def pipeline_cache_key() -> Optional[tuple]:
     if _PIPELINE is None:
         return None
     mesh, n_micro = _PIPELINE
-    return (n_micro, mesh.axis_names, mesh.devices.shape,
+    return (n_micro, _mesh_key(mesh))
+
+
+def _mesh_key(mesh: Mesh) -> tuple:
+    return (mesh.axis_names, mesh.devices.shape,
             tuple(d.id for d in mesh.devices.flat))
+
+
+# Trace-time hint for Megatron-style sequence parallelism
+# (MeshConfig.sp): the token dim of the block activations is sharded over
+# ``model`` between the matmul regions (with_sharding_constraint at layer
+# boundaries; GSPMD derives the all-gather / reduce-scatter pairs around
+# attention and the tp-sharded FFN). Registered by placement(sp=True).
+_SEQUENCE: Optional[Mesh] = None
+
+
+def set_sequence_sharding(mesh: Optional[Mesh]) -> None:
+    global _SEQUENCE
+    _SEQUENCE = mesh
+
+
+def sequence_mesh() -> Optional[Mesh]:
+    return _SEQUENCE
+
+
+def sequence_sharding_constraint(x: jax.Array) -> jax.Array:
+    """Constrain (B, n, d) activations to P(data, model, None) when
+    sequence parallelism is registered; identity otherwise. GSPMD handles
+    the non-divisible token count (197 = 196 patches + CLS) by padding
+    internally — no shape change is visible here."""
+    if _SEQUENCE is None:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(_SEQUENCE, P(DATA_AXIS, MODEL_AXIS, None)))
+
+
+def spmd_cache_key() -> Optional[tuple]:
+    """Combined trace-time SPMD registry identity (pipeline + sequence
+    sharding). engine.loop.step_cache folds this into every cached
+    jitted-step builder's key automatically; eval/prototype builders use
+    it directly."""
+    seq = None if _SEQUENCE is None else _mesh_key(_SEQUENCE)
+    pp = pipeline_cache_key()
+    if seq is None and pp is None:
+        return None
+    return (pp, seq)
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
@@ -198,7 +242,7 @@ def replicate(mesh: Mesh, tree, tp: bool = False, fsdp: bool = False,
 
 
 def placement(mesh: Optional[Mesh], tp: bool = False, fsdp: bool = False,
-              pp: bool = False, pp_micro: int = 0):
+              pp: bool = False, pp_micro: int = 0, sp: bool = False):
     """(put_params, put_batch) pair for an optional mesh.
 
     With a mesh: put_params replicates a param pytree (head weight sharded
@@ -206,8 +250,12 @@ def placement(mesh: Optional[Mesh], tp: bool = False, fsdp: bool = False,
     ``tp=True``; block kernels over ``data`` when ``fsdp=True``; the
     stacked layer dim over ``model`` when ``pp=True`` — which also
     registers the pipeline for the trace) and put_batch shards arrays'
-    leading dim over ``data``. With mesh=None both are plain asarray/
-    identity — so every engine can take ``mesh=None`` and stay
+    leading dim over ``data``. ``sp=True`` registers Megatron-style
+    sequence sharding of the block activations' token dim over ``model``
+    (no param layout change — pure with_sharding_constraints in the
+    transformer stack; composes with tp/fsdp, excludes pp whose shard_map
+    body is manual over the same axis). With mesh=None both are plain
+    asarray/identity — so every engine can take ``mesh=None`` and stay
     single-device with zero branching at call sites.
     """
     import jax.numpy as jnp
@@ -215,25 +263,32 @@ def placement(mesh: Optional[Mesh], tp: bool = False, fsdp: bool = False,
     # a requested parallelism the mesh cannot express would otherwise be a
     # SILENT no-op (everything stays replicated) — fail loudly instead
     if mesh is None:
-        if tp or fsdp or pp:
+        if tp or fsdp or pp or sp:
             raise ValueError(
-                "tp/fsdp/pp need a device mesh — run with --dp and a mesh "
-                "that has the axis to shard over (--mesh_model N for "
-                "tp/pp; a data axis > 1 for fsdp)")
+                "tp/fsdp/pp/sp need a device mesh — run with --dp and a "
+                "mesh that has the axis to shard over (--mesh_model N for "
+                "tp/pp/sp; a data axis > 1 for fsdp)")
     else:
-        if (tp or pp) and mesh.shape[MODEL_AXIS] <= 1:
+        if (tp or pp or sp) and mesh.shape[MODEL_AXIS] <= 1:
+            which = "tp" if tp else ("pp" if pp else "sp")
             raise ValueError(
-                f"{'tp' if tp else 'pp'}=True is a no-op on a model axis "
+                f"{which}=True is a no-op on a model axis "
                 f"of 1 — set --mesh_model N (mesh is "
                 f"{dict(zip(mesh.axis_names, mesh.devices.shape))})")
         if fsdp and mesh.shape[DATA_AXIS] <= 1:
             raise ValueError(
                 f"fsdp=True is a no-op on a data axis of 1 (mesh is "
                 f"{dict(zip(mesh.axis_names, mesh.devices.shape))})")
+        if sp and pp:
+            raise ValueError(
+                "sp excludes pp: the pipeline body is a fully manual "
+                "shard_map over the model axis, so GSPMD sharding "
+                "constraints cannot reference it there")
 
     set_attention_mesh(mesh)  # pallas attention shards per-device under it
     set_pipeline(mesh if (pp and mesh is not None and
                           mesh.shape[MODEL_AXIS] > 1) else None, pp_micro)
+    set_sequence_sharding(mesh if (sp and mesh is not None) else None)
     if mesh is None:
         return (lambda t: t), \
             (lambda *a: tuple(jnp.asarray(x) for x in a))

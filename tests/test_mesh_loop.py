@@ -523,3 +523,83 @@ def test_baselines_reject_pp():
                                 lambda: iter([]), lambda: iter([]),
                                 lam=0.0, anchors=[], importances=[],
                                 mesh=None)
+
+
+@pytest.mark.parametrize("mesh_shape,tp",
+                         [((4, 2), False), ((2, 2), True)],
+                         ids=["sp2", "sp2_tp2"])
+def test_sp_equivalence(mesh_shape, tp):
+    """MeshConfig(sp=True): Megatron-style sequence parallelism — the
+    token dim of the block activations sharded over ``model`` between
+    matmul regions via with_sharding_constraints (no param layout change),
+    alone and composed with tp. The 5-token sequence (16px / patch 8 + CLS)
+    is NOT divisible by the model axis, exercising GSPMD's internal
+    padding. Dynamics must match single-device to fp tolerance."""
+    import dataclasses as _dc
+
+    data = _data()
+    d, m = mesh_shape
+    cfg = _dc.replace(_cfg(), mesh=MeshConfig(data=d, model=m, tp=tp,
+                                              sp=True))
+
+    params0 = init_vit_params(jax.random.key(0), MODEL, LORA)
+    res_single = run_forget_training(_dc.replace(cfg, mesh=MeshConfig()),
+                                     params0, data, mesh=None)
+
+    params1 = init_vit_params(jax.random.key(0), MODEL, LORA)
+    mesh = make_mesh(cfg.mesh)
+    res_mesh = run_forget_training(cfg, params1, data, mesh=mesh)
+
+    for a, b in zip(jax.tree_util.tree_leaves(res_single.state.lora),
+                    jax.tree_util.tree_leaves(res_mesh.state.lora)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    assert len(res_single.history) == len(res_mesh.history)
+    for hs, hm in zip(res_single.history, res_mesh.history):
+        for k in ("Test forget Accuracy", "Test remain Accuracy", "H_mean"):
+            assert abs(hs[k] - hm[k]) < 1e-3, (k, hs[k], hm[k])
+
+
+def test_sp_guards():
+    """sp on a model axis of 1 or without a mesh is a silent no-op —
+    rejected; sp+pp is unsupported (the pipeline body is a manual
+    shard_map over the same axis) — rejected."""
+    from gslora_tpu.parallel.mesh import placement
+
+    with pytest.raises(ValueError, match="need a device mesh"):
+        placement(None, sp=True)
+    with pytest.raises(ValueError, match="model axis"):
+        placement(make_mesh(MeshConfig(data=8, model=1)), sp=True)
+    with pytest.raises(ValueError, match="sp excludes pp"):
+        placement(make_mesh(MeshConfig(data=4, model=2)), sp=True, pp=True)
+
+
+def test_step_cache_keys_on_sequence_sharding():
+    """step_cache folds the SPMD registry into every builder's key: a
+    builder invoked with identical args under different sequence-sharding
+    registrations must not share a traced step."""
+    from gslora_tpu.engine.loop import step_cache
+    from gslora_tpu.parallel.mesh import set_sequence_sharding
+
+    # registries persist until the next placement() call (by design — the
+    # attention mesh works the same way); a prior sp test may have left
+    # one registered, so start from a known-clean state
+    set_sequence_sharding(None)
+    calls = []
+
+    @step_cache
+    def build(tag):
+        calls.append(tag)
+        return object()
+
+    a = build("x")
+    assert build("x") is a  # plain cache hit
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    set_sequence_sharding(mesh)
+    try:
+        b = build("x")
+    finally:
+        set_sequence_sharding(None)
+    assert b is not a
+    assert build("x") is a
+    assert calls == ["x", "x"]

@@ -241,6 +241,29 @@ def replicate(mesh: Mesh, tree, tp: bool = False, fsdp: bool = False,
     return jax.tree.map(jax.device_put, tree, sh)
 
 
+def place_like(template, tree):
+    """device_put every array leaf of ``tree`` with the sharding of the
+    matching leaf in ``template`` — a live, correctly-sharded structure
+    twin (e.g. a freshly created ForgetState under the mesh).
+
+    This is the missing half of sharded fault recovery (SURVEY §5.3):
+    ``checkpoints.io.restore_train_state`` returns host numpy arrays, and
+    feeding those straight into a step compiled for tp/fsdp layouts would
+    silently re-place everything replicated — a fresh multi-minute XLA
+    compile on tunneled TPUs and, for ZeRO (fsdp) states at scale, the
+    exact optimizer-moment memory blow-up the sharding exists to avoid."""
+    def put(t, r):
+        # only COMMITTED template leaves carry a meaningful layout (the
+        # mesh-sharded params/moments); uncommitted scalars (optax count,
+        # injected hyperparams, the step counter) must stay uncommitted —
+        # device_put would pin them to one device and the next jitted step
+        # would reject the mixed committed device sets
+        if isinstance(t, jax.Array) and t.committed:
+            return jax.device_put(r, t.sharding)
+        return r
+    return jax.tree.map(put, template, tree)
+
+
 def placement(mesh: Optional[Mesh], tp: bool = False, fsdp: bool = False,
               pp: bool = False, pp_micro: int = 0, sp: bool = False):
     """(put_params, put_batch) pair for an optional mesh.

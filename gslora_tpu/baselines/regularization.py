@@ -141,9 +141,10 @@ def run_regularization_task(cfg: RunConfig, params, train_loader_factory,
     cdt = _dtype(cfg)
     logger = logger or MetricLogger()
     if cfg.mesh.pp:
-        # the baseline steps are cached/traced outside the pipeline
-        # registry's keying; rather than silently ignoring the flag
-        # (placement() here never registers a pipeline), fail loudly
+        # placement() below is called without pp=..., so it never
+        # registers a pipeline and --pp would be a SILENT no-op here
+        # (step_cache keys baseline steps on the SPMD registry, but the
+        # registry stays empty for baselines); fail loudly instead
         raise ValueError(
             "MeshConfig.pp is supported by the GS-LoRA forget and "
             "pretrain engines only; baseline runners support "

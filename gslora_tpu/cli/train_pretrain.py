@@ -44,12 +44,12 @@ def main(argv=None):
     # nn.DataParallel 8-GPU path (train_own.py:403-406, run_sub.sh)
     mesh = None
     if getattr(args, "dp", False) and len(jax.devices()) > 1:
-        from gslora_tpu.parallel.mesh import make_mesh
+        from gslora_tpu.parallel.mesh import data_parallel_size, make_mesh
         mesh = make_mesh(cfg.mesh)
-        if cfg.data.batch_size % mesh.shape.get("data", 1) != 0:
+        if cfg.data.batch_size % data_parallel_size(mesh) != 0:
             raise ValueError(
                 f"batch_size {cfg.data.batch_size} not divisible by the "
-                f"mesh data axis ({mesh.shape.get('data', 1)})")
+                f"mesh data-parallel ways ({data_parallel_size(mesh)})")
     from gslora_tpu.parallel.mesh import placement
     put_params, put_batch = placement(mesh, tp=cfg.mesh.tp,
                                       fsdp=cfg.mesh.fsdp, pp=cfg.mesh.pp,

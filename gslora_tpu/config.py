@@ -323,15 +323,22 @@ class MeshConfig:
     derives the all-gather / reduce-scatter pairs around attention and the
     tp-sharded FFN (the classic tp+sp pairing). Composes with tp/fsdp,
     excludes pp. GSPMD pads the non-divisible 197-token sequence
-    internally."""
+    internally.
 
-    data: int = -1  # -1 => all devices
+    ``slices>1`` adds an outermost ``dcn`` mesh axis for multi-slice pods:
+    pure data parallelism across slices (batch shards over dcn x data, the
+    per-step gradient all-reduce is the only DCN traffic) while tp/pp/sp
+    (``model``) and the fsdp weight shards (``data``) stay within a slice
+    on ICI. Composes with every other flag."""
+
+    data: int = -1  # -1 => all devices (after model/slices)
     model: int = 1
     tp: bool = False  # shard FFN hidden dim over the model axis
     fsdp: bool = False  # shard block kernels (+moments) over the data axis
     pp: bool = False  # GPipe stages over the model axis
     pp_micro: int = 0  # microbatches per batch (0 => stage count)
     sp: bool = False  # shard activation token dim over the model axis
+    slices: int = 1  # >1 => outermost dcn data-parallel axis (multi-slice)
 
 
 @dataclass
@@ -493,6 +500,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sequence parallelism: shard the activation token "
                         "dim over the model mesh axis between matmul "
                         "regions (composes with --tp/--fsdp)")
+    p.add_argument("--mesh_slices", default=1, type=int,
+                   help="multi-slice pods: outermost dcn data-parallel "
+                        "mesh axis (batch shards over dcn x data; only the "
+                        "gradient all-reduce crosses DCN)")
     # TPU execution modes (gslora_tpu additions; defaults reference-faithful)
     p.add_argument("--lora_apply", default="factored", type=str,
                    choices=["factored", "merged"])
@@ -670,7 +681,8 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
                         fsdp=getattr(args, "fsdp", False),
                         pp=getattr(args, "pp", False),
                         pp_micro=getattr(args, "pp_micro", 0),
-                        sp=getattr(args, "sp", False)),
+                        sp=getattr(args, "sp", False),
+                        slices=getattr(args, "mesh_slices", 1)),
         resume=args.resume, outdir=args.outdir,
         compute_dtype=args.compute_dtype,
         lora_apply="merged" if getattr(args, "fast", False)

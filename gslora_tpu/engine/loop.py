@@ -155,11 +155,13 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
     auto_pad = mesh is not None or jax.default_backend() != "cpu"
     u8 = cfg.data.uint8_transfer
     if mesh is not None:
-        dsize = mesh.shape.get("data", 1)
+        from gslora_tpu.parallel.mesh import data_parallel_size
+        dsize = data_parallel_size(mesh)
         if cfg.data.batch_size % dsize != 0:
             raise ValueError(
                 f"batch_size {cfg.data.batch_size} not divisible by the "
-                f"mesh data axis ({dsize}) — padded batches cannot shard")
+                f"mesh data-parallel ways ({dsize}) — padded batches "
+                f"cannot shard")
 
     def put_batch(x, y):
         if batch_sh is not None:

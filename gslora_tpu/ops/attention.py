@@ -211,12 +211,13 @@ def fused_attention_bhnd(q, k, v, scale: float, mesh=None):
                             vl.reshape(bl * h, n, d), scale)
         return o.reshape(bl, h, n, d)
 
-    dsize = mesh.shape.get("data", 1) if mesh is not None else 1
+    from gslora_tpu.parallel.mesh import batch_axes, data_parallel_size
+    dsize = data_parallel_size(mesh) if mesh is not None else 1
     if dsize > 1 and b % dsize == 0:
         # non-divisible batches (e.g. a caller outside the padded train
         # loop) skip the wrapper and keep single-device kernel semantics
         from jax.sharding import PartitionSpec as P
-        spec = P("data", None, None, None)
+        spec = P(batch_axes(mesh), None, None, None)
         # check_vma=False: pallas_call's out_shape carries no varying-mesh
         # annotation; the kernel is per-shard pure so the check adds nothing
         return jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),

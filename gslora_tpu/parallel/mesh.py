@@ -20,6 +20,27 @@ from gslora_tpu.config import MeshConfig
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+# Optional outermost multi-slice axis (MeshConfig.slices > 1): pure data
+# parallelism whose collectives ride DCN. Within-slice sharding (tp/pp
+# over `model`, fsdp weight shards over `data`) stays on ICI — only the
+# once-per-step gradient all-reduce crosses the slow inter-slice links,
+# the layout the scaling playbook prescribes for multi-slice training.
+DCN_AXIS = "dcn"
+
+
+def batch_axes(mesh: Mesh):
+    """The mesh axes the batch dim shards over: ('dcn', 'data') on a
+    multi-slice mesh, plain 'data' otherwise."""
+    return (DCN_AXIS, DATA_AXIS) if DCN_AXIS in mesh.axis_names \
+        else DATA_AXIS
+
+
+def data_parallel_size(mesh: Optional[Mesh]) -> int:
+    """Total data-parallel ways (dcn x data) — what batch sizes must
+    divide."""
+    if mesh is None:
+        return 1
+    return mesh.shape.get(DCN_AXIS, 1) * mesh.shape.get(DATA_AXIS, 1)
 
 # Trace-time hint for ops that need an explicit mesh (the blocked Pallas
 # attention kernel runs per-shard under jax.shard_map — a Mosaic custom
@@ -102,7 +123,8 @@ def sequence_sharding_constraint(x: jax.Array) -> jax.Array:
     if _SEQUENCE is None:
         return x
     return jax.lax.with_sharding_constraint(
-        x, NamedSharding(_SEQUENCE, P(DATA_AXIS, MODEL_AXIS, None)))
+        x, NamedSharding(_SEQUENCE,
+                         P(batch_axes(_SEQUENCE), MODEL_AXIS, None)))
 
 
 def spmd_cache_key() -> Optional[tuple]:
@@ -122,15 +144,32 @@ def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     model = max(cfg.model, 1)
-    data = cfg.data if cfg.data > 0 else n // model
-    assert data * model <= n, f"mesh {data}x{model} > {n} devices"
+    slices = max(cfg.slices, 1)
+    data = cfg.data if cfg.data > 0 else n // (model * slices)
+    assert slices * data * model <= n, \
+        f"mesh {slices}x{data}x{model} > {n} devices"
+    if slices > 1:
+        # multi-slice: outermost `dcn` axis. On real multi-slice TPU the
+        # hybrid mesh groups each slice's chips into one dcn row so the
+        # data/model axes stay on ICI; on single-granule platforms (CPU
+        # tests, one slice's worth of virtual devices) fall back to a
+        # plain slice-major reshape — topologically equivalent there.
+        use = devices[: slices * data * model]
+        try:
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (1, data, model), (slices, 1, 1), use)
+        except Exception:
+            arr = np.asarray(use).reshape(slices, data, model)
+        return Mesh(arr, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
     arr = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch dim sharded over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Batch dim sharded over the data-parallel axes (dcn x data on a
+    multi-slice mesh)."""
+    return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
 def shard_batch(mesh: Mesh, *arrays):

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from gslora_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from gslora_tpu.parallel.mesh import MODEL_AXIS, batch_axes
 
 
 def pipeline_transformer(x: jax.Array, blocks, lora_tree,
@@ -109,7 +109,9 @@ def pipeline_transformer(x: jax.Array, blocks, lora_tree,
         return out.reshape(b_loc, *x_loc.shape[1:])
 
     stage_spec = P(MODEL_AXIS)
-    x_spec = P(DATA_AXIS)
+    # batch stays sharded exactly as the loop placed it (dcn x data on a
+    # multi-slice mesh) — the schedule only communicates over `model`
+    x_spec = P(batch_axes(mesh))
     in_specs = (x_spec,
                 jax.tree.map(lambda _: stage_spec, blocks),
                 jax.tree.map(lambda _: stage_spec, lora_tree)

@@ -179,8 +179,8 @@ def test_topk_accuracy_matches_torch():
 
 
 def test_parallelism_flags_parse_into_mesh_config():
-    """--tp/--fsdp/--pp/--pp_micro land in MeshConfig (the engines read
-    cfg.mesh.* at placement time)."""
+    """--tp/--fsdp/--pp/--pp_micro/--sp/--mesh_slices land in MeshConfig
+    (the engines read cfg.mesh.* at placement time)."""
     from gslora_tpu.config import build_parser, config_from_args
 
     a = build_parser().parse_args(
@@ -194,6 +194,12 @@ def test_parallelism_flags_parse_into_mesh_config():
     cfg = config_from_args(a)
     assert cfg.mesh.pp and cfg.mesh.pp_micro == 3 and not cfg.mesh.tp
 
+    a = build_parser().parse_args(
+        ["-b", "16", "--mesh_model", "2", "--sp", "--mesh_slices", "2"])
+    cfg = config_from_args(a)
+    assert cfg.mesh.sp and cfg.mesh.slices == 2
+
     a = build_parser().parse_args(["-b", "16"])
     cfg = config_from_args(a)
-    assert not (cfg.mesh.tp or cfg.mesh.fsdp or cfg.mesh.pp)
+    assert not (cfg.mesh.tp or cfg.mesh.fsdp or cfg.mesh.pp or cfg.mesh.sp)
+    assert cfg.mesh.slices == 1

@@ -105,6 +105,19 @@ def main():
     images_per_sec = K_STEPS * 2 * bs / best
     ips_per_chip = images_per_sec / jax.device_count()
     tflops = ips_per_chip * STEP_GFLOP_PER_IMG / 1e3
+    # compiled-program HBM budget (XLA memory analysis; the dispatch-path
+    # executable is already in the persistent compile cache, so this
+    # re-compile is a disk hit). Best-effort: never fail the bench over it.
+    peak_hbm = None
+    try:
+        ma = multi_step.lower(state, keys).compile().memory_analysis()
+        if ma is not None:
+            peak_hbm = round(
+                (ma.argument_size_in_bytes + ma.temp_size_in_bytes +
+                 ma.output_size_in_bytes - ma.alias_size_in_bytes) / 2**30,
+                2)
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "images_per_sec_per_chip_vit_p8s8_forget_finetune",
         "value": round(ips_per_chip, 2),
@@ -114,6 +127,7 @@ def main():
         "achieved_tflops": round(tflops, 1),
         "mfu_vs_observed_ceiling": round(tflops / CEILING_TFLOPS, 3),
         "mfu_vs_spec": round(tflops / SPEC_TFLOPS, 3),
+        **({"peak_hbm_gb": peak_hbm} if peak_hbm is not None else {}),
     }))
 
 

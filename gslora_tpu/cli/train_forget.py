@@ -72,16 +72,10 @@ def main(argv=None):
     if getattr(args, "dp", False):
         import jax
         if len(jax.devices()) > 1:
-            from gslora_tpu.parallel.mesh import (data_parallel_size,
+            from gslora_tpu.parallel.mesh import (check_batch_divisible,
                                                   make_mesh)
             mesh = make_mesh(cfg.mesh)
-            dsize = data_parallel_size(mesh)
-            if cfg.data.batch_size % dsize != 0:
-                # fail fast, like the sibling drivers, instead of dying
-                # minutes later inside jit with a sharding error
-                raise ValueError(
-                    f"batch_size {cfg.data.batch_size} not divisible by "
-                    f"the mesh data-parallel ways ({dsize})")
+            check_batch_divisible(mesh, cfg.data.batch_size)
     if getattr(args, "profile_dir", ""):
         # jax.profiler trace around the whole run (SURVEY §5.1; view with
         # TensorBoard). Includes compile + every step.

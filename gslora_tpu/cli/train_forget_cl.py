@@ -58,10 +58,8 @@ def run_baseline_continual(cfg: RunConfig, params, train_ds, test_ds,
     from gslora_tpu.data import pipeline as _pl
     BatchLoader = partial(_pl.BatchLoader,
                           uint8_transfer=cfg.data.uint8_transfer)
-    from gslora_tpu.parallel.mesh import data_parallel_size
-    if mesh is not None and bs % data_parallel_size(mesh) != 0:
-        raise ValueError(f"batch_size {bs} not divisible by the mesh "
-                         f"data-parallel ways ({data_parallel_size(mesh)})")
+    from gslora_tpu.parallel.mesh import check_batch_divisible
+    check_batch_divisible(mesh, bs)
     results = []
     anchors, importances = [], []
     lam = {"l2": b.l2_lambda, "ewc": b.ewc_lambda,

@@ -44,12 +44,10 @@ def main(argv=None):
     # nn.DataParallel 8-GPU path (train_own.py:403-406, run_sub.sh)
     mesh = None
     if getattr(args, "dp", False) and len(jax.devices()) > 1:
-        from gslora_tpu.parallel.mesh import data_parallel_size, make_mesh
+        from gslora_tpu.parallel.mesh import (check_batch_divisible,
+                                              make_mesh)
         mesh = make_mesh(cfg.mesh)
-        if cfg.data.batch_size % data_parallel_size(mesh) != 0:
-            raise ValueError(
-                f"batch_size {cfg.data.batch_size} not divisible by the "
-                f"mesh data-parallel ways ({data_parallel_size(mesh)})")
+        check_batch_divisible(mesh, cfg.data.batch_size)
     from gslora_tpu.parallel.mesh import placement
     put_params, put_batch = placement(mesh, tp=cfg.mesh.tp,
                                       fsdp=cfg.mesh.fsdp, pp=cfg.mesh.pp,

@@ -154,14 +154,8 @@ def run_forget_training(cfg: RunConfig, params, data: ForgetData,
     # CPU single-device runs keep reference-faithful ragged tails.
     auto_pad = mesh is not None or jax.default_backend() != "cpu"
     u8 = cfg.data.uint8_transfer
-    if mesh is not None:
-        from gslora_tpu.parallel.mesh import data_parallel_size
-        dsize = data_parallel_size(mesh)
-        if cfg.data.batch_size % dsize != 0:
-            raise ValueError(
-                f"batch_size {cfg.data.batch_size} not divisible by the "
-                f"mesh data-parallel ways ({dsize}) — padded batches "
-                f"cannot shard")
+    from gslora_tpu.parallel.mesh import check_batch_divisible
+    check_batch_divisible(mesh, cfg.data.batch_size)
 
     def put_batch(x, y):
         if batch_sh is not None:

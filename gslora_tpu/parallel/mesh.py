@@ -146,20 +146,26 @@ def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     model = max(cfg.model, 1)
     slices = max(cfg.slices, 1)
     data = cfg.data if cfg.data > 0 else n // (model * slices)
-    assert slices * data * model <= n, \
-        f"mesh {slices}x{data}x{model} > {n} devices"
+    assert data >= 1 and slices * data * model <= n, \
+        f"mesh {slices}x{data}x{model} does not fit {n} devices"
     if slices > 1:
         # multi-slice: outermost `dcn` axis. On real multi-slice TPU the
         # hybrid mesh groups each slice's chips into one dcn row so the
-        # data/model axes stay on ICI; on single-granule platforms (CPU
-        # tests, one slice's worth of virtual devices) fall back to a
-        # plain slice-major reshape — topologically equivalent there.
+        # data/model axes stay on ICI; a reshape there could interleave
+        # physical slices into one dcn row and silently push the per-layer
+        # fsdp/tp collectives onto DCN, so the fallback is ONLY for
+        # single-granule platforms (CPU tests, one slice's worth of
+        # devices — topologically equivalent). Real topology mismatches
+        # (e.g. --mesh_slices 2 on a 4-slice pod) fail loudly inside
+        # create_hybrid_device_mesh.
         use = devices[: slices * data * model]
-        try:
+        granules = {getattr(d, "slice_index",
+                            getattr(d, "process_index", 0)) for d in use}
+        if len(granules) > 1:
             from jax.experimental import mesh_utils
             arr = mesh_utils.create_hybrid_device_mesh(
                 (1, data, model), (slices, 1, 1), use)
-        except Exception:
+        else:
             arr = np.asarray(use).reshape(slices, data, model)
         return Mesh(arr, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
     arr = np.asarray(devices[: data * model]).reshape(data, model)
@@ -173,10 +179,25 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, *arrays):
-    """Place host arrays with batch-dim sharding over ``data``."""
+    """Place host arrays with batch-dim sharding over the data-parallel
+    axes (dcn x data on a multi-slice mesh)."""
     sh = batch_sharding(mesh)
     out = tuple(jax.device_put(a, sh) for a in arrays)
     return out if len(out) > 1 else out[0]
+
+
+def check_batch_divisible(mesh: Optional[Mesh], batch_size: int) -> None:
+    """Fail fast when a batch cannot shard evenly over the mesh's
+    data-parallel ways (dcn x data) — the shared guard for every driver/
+    loop; without it the run dies minutes later inside jit with a cryptic
+    sharding error."""
+    if mesh is None:
+        return
+    dsize = data_parallel_size(mesh)
+    if batch_size % dsize != 0:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by the mesh "
+            f"data-parallel ways ({dsize}) — padded batches cannot shard")
 
 
 # TP rules: (path names to match, leaf ndim, sharded dim) over `model`.

@@ -39,7 +39,8 @@ def pipeline_transformer(x: jax.Array, blocks, lora_tree,
     """Run ``layer_fn(x, blk, lora_blk, rngs_row)`` over all L stacked
     layers, pipelined over the ``model`` axis of ``mesh``.
 
-    ``x``: (B, n, d) tokens, batch sharded over ``data`` (replicated over
+    ``x``: (B, n, d) tokens, batch sharded over the data-parallel axes
+    (``data``, or dcn x data on a multi-slice mesh; replicated over
     ``model``). ``blocks`` / ``lora_tree`` / ``layer_rngs``: stacked trees
     with leading dim L, sharded over ``model`` (placement(pp=True) lays
     them out; shard_map slices them per stage). ``n_micro``: microbatches

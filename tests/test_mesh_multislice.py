@@ -78,3 +78,13 @@ def test_multislice_batch_divisibility():
     mesh = make_mesh(cfg.mesh)
     with pytest.raises(ValueError, match="data-parallel ways"):
         run_forget_training(cfg, params, data, mesh=mesh)
+
+
+def test_oversubscribed_mesh_fails_loudly():
+    """A mesh that cannot fit the devices must fail at make_mesh, not
+    produce a degenerate 0-sized data axis that crashes minutes later
+    with ZeroDivisionError / cryptic placement errors."""
+    with pytest.raises(AssertionError, match="does not fit"):
+        make_mesh(MeshConfig(model=4, slices=4))  # 8 devices: data -> 0
+    with pytest.raises(AssertionError, match="does not fit"):
+        make_mesh(MeshConfig(data=4, model=4))  # 16 > 8

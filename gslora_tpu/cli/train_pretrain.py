@@ -60,7 +60,8 @@ def main(argv=None):
     lora_only = cfg.lora.rank > 0 and bool(cfg.resume)
     state = PretrainState.create(params, opt, lora_only=lora_only)
     step = make_pretrain_step(cfg.model, cfg.lora, opt, compute_dtype=cdt,
-                              lora_only=lora_only)
+                              lora_only=lora_only,
+                              grad_accum=cfg.optim.grad_accum)
     eval_step = make_eval_step(cfg.model, cfg.lora, compute_dtype=cdt)
 
     pad = mesh is not None or jax.default_backend() != "cpu"

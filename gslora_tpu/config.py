@@ -180,6 +180,11 @@ class OptimConfig:
     decay_epochs: int = 30
     decay_rate: float = 0.1
     cooldown_epochs: int = 10
+    # gslora_tpu addition (no reference analogue — its nn.DataParallel
+    # path fits the full batch on 8 GPUs): >1 splits each batch into that
+    # many microbatches inside the jitted pretrain step, one optimizer
+    # update per batch, activation memory divided by the factor
+    grad_accum: int = 1
 
 
 # ---------------------------------------------------------------------------
@@ -504,6 +509,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-slice pods: outermost dcn data-parallel "
                         "mesh axis (batch shards over dcn x data; only the "
                         "gradient all-reduce crosses DCN)")
+    p.add_argument("--grad_accum", default=1, type=int,
+                   help="gradient accumulation: split each pretrain batch "
+                        "into N microbatches inside the jitted step (one "
+                        "optimizer update per batch; activation memory / N)")
     # TPU execution modes (gslora_tpu additions; defaults reference-faithful)
     p.add_argument("--lora_apply", default="factored", type=str,
                    choices=["factored", "merged"])
@@ -630,6 +639,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
             warmup_lr=args.warmup_lr, min_lr=args.min_lr,
             warmup_epochs=args.warmup_epochs, epochs=args.epochs,
             decay_epochs=args.decay_epochs, decay_rate=args.decay_rate,
+            grad_accum=getattr(args, "grad_accum", 1),
         ),
         forget=ForgetConfig(
             num_of_first_cls=args.num_of_first_cls,

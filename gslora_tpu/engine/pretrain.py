@@ -39,9 +39,49 @@ class PretrainState:
                    step=jnp.int32(0))
 
 
+def _accumulated(grad_fn, n: int):
+    """Wrap ``grad_fn(x, y, rng) -> (grads, metrics)`` to run over ``n``
+    equal microbatch slices via lax.scan and average the results.
+
+    This is gradient accumulation INSIDE the one jitted step (a TPU-native
+    addition — the reference has no accumulation, its nn.DataParallel path
+    fits the full batch on 8 GPUs, train_own.py:403-406): only one
+    microbatch's activations are ever live, so the effective batch scales
+    past a single chip's activation memory at the cost of n sequential
+    passes. Exact for full batches (CE/accuracy are means over equal-size
+    micro slices); on a padded tail batch the micro-average weights valid
+    samples per-slice rather than globally — the standard accumulation
+    semantics.
+    """
+    def accum(x, y, rng):
+        b = x.shape[0]
+        if b % n:
+            raise ValueError(
+                f"grad_accum={n} does not divide batch size {b}")
+        xs = (x.reshape(n, b // n, *x.shape[1:]),
+              y.reshape(n, b // n, *y.shape[1:]),
+              jax.random.split(rng, n))
+        shapes = jax.eval_shape(grad_fn, *(jax.tree.map(lambda t: t[0], xs)))
+        zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+        def body(carry, micro):
+            out = grad_fn(*micro)
+            return jax.tree.map(jnp.add, carry, out), None
+
+        total, _ = jax.lax.scan(body, zeros, xs)
+        return jax.tree.map(lambda t: t / n, total)
+
+    return accum
+
+
 def make_pretrain_step(model: ViTConfig, lora: LoraConfig, optimizer,
-                       compute_dtype=jnp.bfloat16, lora_only: bool = False):
-    """pretrain_step(state, x, y, lr, rng) -> (state, metrics)."""
+                       compute_dtype=jnp.bfloat16, lora_only: bool = False,
+                       grad_accum: int = 1):
+    """pretrain_step(state, x, y, lr, rng) -> (state, metrics).
+
+    ``grad_accum > 1`` splits each batch into that many microbatches inside
+    the jitted step (see ``_accumulated``) — one optimizer update per batch,
+    activation memory divided by the accumulation factor."""
 
     def loss_fn(params, x, y, rng):
         if model.head_type == "SFace":
@@ -63,8 +103,11 @@ def make_pretrain_step(model: ViTConfig, lora: LoraConfig, optimizer,
 
         @jax.jit
         def lstep(state: PretrainState, x, y, lr, rng):
-            grads, metrics = jax.grad(lora_loss, has_aux=True)(
-                state.params["lora"], state.params["base"], x, y, rng)
+            def gfn(xm, ym, rm):
+                return jax.grad(lora_loss, has_aux=True)(
+                    state.params["lora"], state.params["base"], xm, ym, rm)
+            grads, metrics = (_accumulated(gfn, grad_accum)(x, y, rng)
+                              if grad_accum > 1 else gfn(x, y, rng))
             opt_state = _with_lr(state.opt_state, lr)
             updates, opt_state = optimizer.update(grads, opt_state,
                                                   state.params["lora"])
@@ -77,8 +120,10 @@ def make_pretrain_step(model: ViTConfig, lora: LoraConfig, optimizer,
 
     @jax.jit
     def step(state: PretrainState, x, y, lr, rng):
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params, x, y,
-                                                         rng)
+        def gfn(xm, ym, rm):
+            return jax.grad(loss_fn, has_aux=True)(state.params, xm, ym, rm)
+        grads, metrics = (_accumulated(gfn, grad_accum)(x, y, rng)
+                          if grad_accum > 1 else gfn(x, y, rng))
         opt_state = _with_lr(state.opt_state, lr)
         updates, opt_state = optimizer.update(grads, opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -99,7 +144,8 @@ def pretrain(cfg, params, train_batches_fn, epochs: int,
     state = PretrainState.create(params, opt, lora_only=lora_only)
     step = make_pretrain_step(cfg.model, cfg.lora, opt,
                               compute_dtype=compute_dtype,
-                              lora_only=lora_only)
+                              lora_only=lora_only,
+                              grad_accum=cfg.optim.grad_accum)
     rng = jax.random.key(seed)
     metrics = {}
     for epoch in range(epochs):

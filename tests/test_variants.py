@@ -121,3 +121,64 @@ def test_lora_only_pretrain_freezes_base():
     opt_size = sum(l.size for l in jax.tree.leaves(state.opt_state))
     base_size = sum(l.size for l in jax.tree.leaves(params["base"]))
     assert opt_size < base_size
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum=N inside the jitted pretrain step == one full-batch
+    step: CE/accuracy are means over equal micro slices, so the averaged
+    micro gradients equal the full-batch gradient exactly (fp32, dropout
+    off)."""
+    from gslora_tpu.engine.pretrain import PretrainState, make_pretrain_step
+    lora = LoraConfig(rank=0)
+    x = jax.random.normal(jax.random.key(1), (8, 3, 16, 16))
+    y = jnp.array([0, 1, 2, 3, 4, 5, 0, 1])
+
+    def run(n):
+        params = init_vit_params(jax.random.key(0), CFG, lora)
+        opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-3))
+        state = PretrainState.create(params, opt)
+        step = make_pretrain_step(CFG, lora, opt, compute_dtype=jnp.float32,
+                                  grad_accum=n)
+        for i in range(3):
+            state, m = step(state, x, y, jnp.float32(1e-3), jax.random.key(i))
+        return state, m
+
+    ref_state, ref_m = run(1)
+    for n in (2, 4):
+        st, m = run(n)
+        assert abs(float(m["loss"]) - float(ref_m["loss"])) < 1e-5
+        assert abs(float(m["acc"]) - float(ref_m["acc"])) < 1e-4
+        for a, b in zip(jax.tree.leaves(ref_state.params),
+                        jax.tree.leaves(st.params)):
+            # AdamW's eps nonlinearity amplifies micro-sum reassociation
+            # noise over 3 steps — tolerance covers that, not math drift
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_grad_accum_lora_only_and_indivisible():
+    from gslora_tpu.engine.pretrain import PretrainState, make_pretrain_step
+    lora = LoraConfig(rank=4)
+    params = init_vit_params(jax.random.key(0), CFG, lora)
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-3))
+    state = PretrainState.create(params, opt, lora_only=True)
+    step = make_pretrain_step(CFG, lora, opt, compute_dtype=jnp.float32,
+                              lora_only=True, grad_accum=2)
+    x = jax.random.normal(jax.random.key(1), (4, 3, 16, 16))
+    y = jnp.array([0, 1, 2, 3])
+    state, m = step(state, x, y, jnp.float32(1e-3), jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
+    np.testing.assert_array_equal(
+        np.asarray(params["base"]["patch"]["kernel"]),
+        np.asarray(state.params["base"]["patch"]["kernel"]))
+    with pytest.raises(ValueError, match="grad_accum"):
+        step3 = make_pretrain_step(CFG, lora, opt,
+                                   compute_dtype=jnp.float32,
+                                   lora_only=True, grad_accum=3)
+        step3(state, x, y, jnp.float32(1e-3), jax.random.key(0))
+
+
+def test_grad_accum_flag_parses():
+    from gslora_tpu.config import build_parser, config_from_args
+    a = build_parser().parse_args(["-b", "16", "--grad_accum", "4"])
+    assert config_from_args(a).optim.grad_accum == 4

@@ -20,6 +20,30 @@ import dataclasses
 import json
 
 
+def build_pretrain_args(model, lora, bs: int, grad_accum: int = 1):
+    """Full-model pretrain step (the memory-heavy path: moments over ALL
+    params, full-batch activations). grad_accum > 1 shows the temp-bytes
+    division the lax.scan microbatching buys."""
+    import jax
+    import jax.numpy as jnp
+
+    from gslora_tpu.config import OptimConfig
+    from gslora_tpu.engine.pretrain import PretrainState, make_pretrain_step
+    from gslora_tpu.engine.state import make_optimizer
+    from gslora_tpu.models.vit import init_vit_params
+
+    params = init_vit_params(jax.random.key(0), model, lora,
+                             param_dtype=jnp.bfloat16)
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-3))
+    state = PretrainState.create(params, opt)
+    step = make_pretrain_step(model, lora, opt, compute_dtype=jnp.bfloat16,
+                              grad_accum=grad_accum)
+    hw = model.image_size
+    x = jnp.zeros((bs, 3, hw, hw), jnp.float32)
+    y = jnp.zeros((bs,), jnp.int32)
+    return step, (state, x, y, jnp.float32(1e-3), jax.random.key(0))
+
+
 def build_step_args(model, lora, fcfg, bs: int, train: bool = True,
                     lora_apply: str = "merged"):
     import jax
@@ -114,9 +138,16 @@ def main():
                    if p.startswith("b") and p[1:].isdigit()), 24)
         m = dataclasses.replace(m, remat="remat" in parts)
         la = "factored" if "fact" in parts else "merged"
+        # "gaN" token => full-model pretrain step with grad_accum N
+        # (e.g. b16_b256_ga8); "pretrain" alone => grad_accum 1
+        ga = next((int(p[2:]) for p in parts[1:]
+                   if p.startswith("ga") and p[2:].isdigit()), None)
         try:
-            fn, a = build_step_args(m, lora, fcfg, bs, train=train,
-                                    lora_apply=la)
+            if ga is not None or "pretrain" in parts:
+                fn, a = build_pretrain_args(m, lora, bs, grad_accum=ga or 1)
+            else:
+                fn, a = build_step_args(m, lora, fcfg, bs, train=train,
+                                        lora_apply=la)
             print(json.dumps({"variant": v, **report(fn, a)}), flush=True)
         except Exception as e:
             print(json.dumps({"variant": v, "error": str(e)[:200]}),

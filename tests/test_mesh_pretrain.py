@@ -22,7 +22,7 @@ MODEL = ViTConfig(image_size=16, patch_size=8, dim=32, depth=2, heads=2,
 LORA = LoraConfig(rank=0)
 
 
-def _run(mesh_cfg, steps=4):
+def _run(mesh_cfg, steps=4, grad_accum=1):
     """N pretrain steps under the given MeshConfig (None = single device);
     returns the final param tree as host numpy."""
     params = init_vit_params(jax.random.key(0), MODEL, LORA)
@@ -43,7 +43,8 @@ def _run(mesh_cfg, steps=4):
         # built AFTER placement(): the traced forward reads the SPMD
         # registries (pipeline/sequence sharding) at trace time
         step = make_pretrain_step(MODEL, LORA, opt,
-                                  compute_dtype=jnp.float32)
+                                  compute_dtype=jnp.float32,
+                                  grad_accum=grad_accum)
         for i in range(steps):
             state, metrics = step(state, x, y, jnp.float32(1e-3),
                                   jax.random.key(i))
@@ -64,6 +65,17 @@ def _run(mesh_cfg, steps=4):
 def test_pretrain_parallelism_equivalence(mesh_cfg):
     ref, ref_loss = _run(None)
     got, got_loss = _run(mesh_cfg)
+    assert abs(ref_loss - got_loss) < 1e-4
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_pretrain_grad_accum_under_dp_mesh():
+    """--grad_accum composes with the dp mesh: the (B,...) -> (N, B/N, ...)
+    microbatch reshape of a data-sharded batch must preserve dynamics (the
+    micro slices stay batch-sharded; GSPMD reshards as needed)."""
+    ref, ref_loss = _run(None)
+    got, got_loss = _run(MeshConfig(data=8, model=1), grad_accum=2)
     assert abs(ref_loss - got_loss) < 1e-4
     for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)

@@ -6,3 +6,6 @@ python -m gslora_tpu.cli.train_pretrain -b 480 -d casia100 -n VIT -e 1200 \
     --head CosFace --vit_depth 6 --lora_rank 0 \
     --outdir ./results/ViT-P8S8_casia100_cosface \
     --warmup-epochs 10 --lr 3e-4 --decay-epochs 150
+# bs 480 full-model pretrain peaks at 15.5 GB on a 16 GB v5e (BASELINE.md
+# HBM table) — add `--grad_accum 4` (4.8 GB) to leave headroom or to raise
+# the effective batch further; dynamics are identical for full batches.

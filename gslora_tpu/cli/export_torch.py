@@ -5,6 +5,9 @@ Produces a torch-pickled state_dict with the reference ViT_face naming
 vit_face.py:449-548) so any checkpoint trained here can be loaded by the
 reference codebase (train_own_forget.py:624-648 resume path) — and so a
 real-data accuracy comparison is one command once datasets are available.
+VIT_B16 runs export with torchvision naming instead
+(``encoder.layers.encoder_layer_{i}.mlp.{0,3}.lora_{A,B}``, the surgered
+vit_b_16 of train_own_forget_cl.py:206-243).
 
 Two forms, mirroring loralib's stateful train/eval merge semantics
 (loralib lora.Linear: ``.eval()`` folds ``scaling * B @ A`` into ``weight``
@@ -36,10 +39,15 @@ from gslora_tpu.config import build_parser, config_from_args
 
 
 def export_state_dict(params: dict, model_cfg, lora_cfg,
-                      form: str = "unmerged") -> dict:
-    """Our pytree -> reference-named numpy state_dict (merged or unmerged)."""
+                      form: str = "unmerged", naming: str = "vit_face") -> dict:
+    """Our pytree -> reference-named numpy state_dict (merged or unmerged).
+
+    ``naming``: "vit_face" (transformer.layers.{i}... — ViT_face/ViTs_face,
+    vit_face.py:449-548) or "torchvision" (encoder.layers.encoder_layer_{i}
+    ... — the surgered vit_b_16 of the ImageNet-100 path)."""
     from gslora_tpu.lora.core import merge_lora
     from gslora_tpu.models.import_torch import to_state_dict
+    from gslora_tpu.models.vit_imagenet import to_torchvision_state_dict
 
     if form not in ("merged", "unmerged"):
         raise ValueError(f"export form must be merged|unmerged, got {form!r}")
@@ -48,6 +56,8 @@ def export_state_dict(params: dict, model_cfg, lora_cfg,
         base["blocks"] = merge_lora(base["blocks"], params["lora"],
                                     lora_cfg.scaling)
         params = {"base": base, "lora": params["lora"]}
+    if naming == "torchvision":
+        return to_torchvision_state_dict(params, model_cfg)
     return to_state_dict(params, model_cfg)
 
 
@@ -73,9 +83,7 @@ def main(argv=None):
     cfg = config_from_args(args)
     if not cfg.resume:
         parser.error("--export requires a checkpoint: pass -r/--resume")
-    if cfg.net == "VIT_B16":
-        parser.error("VIT_B16 exports use torchvision naming; only the "
-                     "ViT_face family is supported here")
+    naming = "torchvision" if cfg.net == "VIT_B16" else "vit_face"
 
     from gslora_tpu.cli.common import build_params
     params = build_params(cfg)
@@ -88,8 +96,9 @@ def main(argv=None):
         if args.export_form == "both" and form == "merged":
             stem, ext = os.path.splitext(path)
             path = f"{stem}_merged{ext or '.pth'}"
-        save_pth(export_state_dict(params, cfg.model, cfg.lora, form), path)
-        written.append({"path": path, "form": form})
+        save_pth(export_state_dict(params, cfg.model, cfg.lora, form,
+                                   naming=naming), path)
+        written.append({"path": path, "form": form, "naming": naming})
     print(json.dumps({"exported": written}))
     return written
 

@@ -512,7 +512,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grad_accum", default=1, type=int,
                    help="gradient accumulation: split each pretrain batch "
                         "into N microbatches inside the jitted step (one "
-                        "optimizer update per batch; activation memory / N)")
+                        "optimizer update per batch; activation memory / N)."
+                        " Pretrain only — the forget/CL steps ignore it "
+                        "(they warn when N>1)")
     # TPU execution modes (gslora_tpu additions; defaults reference-faithful)
     p.add_argument("--lora_apply", default="factored", type=str,
                    choices=["factored", "merged"])

@@ -36,6 +36,11 @@ class TaskResult:
     task: int
     result: ForgetResult
     old_acc: Optional[float] = None
+    # old-class accuracy measured right AFTER the task-boundary fold and
+    # BEFORE this task trains: separates boundary-fold effects (merge+
+    # reinit) from this task's training dynamics when previously-forgotten
+    # classes resurface (VERDICT r3 #3 instrumentation)
+    old_acc_before: Optional[float] = None
 
 
 @dataclass
@@ -90,9 +95,16 @@ def run_continual_forgetting(cfg: RunConfig, params, train_ds: Dataset,
                              test_ds: Dataset, order_list: List[int],
                              logger: Optional[MetricLogger] = None,
                              workdir: Optional[str] = None,
-                             mesh=None) -> ContinualResult:
+                             mesh=None,
+                             boundary: str = "merge_reinit"
+                             ) -> ContinualResult:
     """GS-LoRA(++) over cfg.forget.num_tasks tasks. ``mesh``: optional
-    device mesh for data-parallel task training (see run_forget_training)."""
+    device mesh for data-parallel task training (see run_forget_training).
+
+    ``boundary``: "merge_reinit" (reference semantics — merged save +
+    reload + LoRA reinit at every task start, cl.py:523-536) or "keep"
+    (adapters carry over untouched; A/B knob for attributing old-class
+    resurfacing to the boundary fold vs task training dynamics)."""
     logger = logger or MetricLogger()
     model, lora, f = cfg.model, cfg.lora, cfg.forget
     cdt = _dtype(cfg)
@@ -105,8 +117,12 @@ def run_continual_forgetting(cfg: RunConfig, params, train_ds: Dataset,
     out = ContinualResult()
     key = jax.random.key(cfg.data.seed)
 
+    if boundary not in ("merge_reinit", "keep"):
+        raise ValueError(f"boundary must be merge_reinit|keep, "
+                         f"got {boundary!r}")
+
     for task in range(f.num_tasks):
-        if task > 0:
+        if task > 0 and boundary == "merge_reinit":
             # task boundary: fold LoRA into the base, fresh LoRA
             # (reference merged-save + reload + reinit, cl.py:523-536)
             key, sub = jax.random.split(key)
@@ -117,6 +133,22 @@ def run_continual_forgetting(cfg: RunConfig, params, train_ds: Dataset,
             }
         data, test_old = split_task_data(cfg, train_ds, test_ds, order_list,
                                          task, cfg.data.seed + task)
+
+        def _old_eval(p):
+            return eval_accuracy(
+                eval_step, p,
+                BatchLoader(test_old, test_bs, shuffle=False, prefetch=0,
+                            mask_padding=mesh is not None or
+                            jax.default_backend() != "cpu",
+                            uint8_transfer=cfg.data.uint8_transfer))
+
+        old_acc_before = None
+        if test_old is not None and len(test_old) > 0:
+            # post-boundary-fold, pre-training: a bounce visible HERE is
+            # the fold's doing; one appearing only after training is the
+            # task's optimization dynamics
+            old_acc_before = _old_eval(params)
+            logger.log({f"Task {task} old Accuracy before": old_acc_before})
 
         protos = None
         if f.prototype:
@@ -149,12 +181,7 @@ def run_continual_forgetting(cfg: RunConfig, params, train_ds: Dataset,
 
         old_acc = None
         if test_old is not None and len(test_old) > 0:
-            old_acc = eval_accuracy(
-                eval_step, params,
-                BatchLoader(test_old, test_bs, shuffle=False, prefetch=0,
-                            mask_padding=mesh is not None or
-                            jax.default_backend() != "cpu",
-                            uint8_transfer=cfg.data.uint8_transfer))
+            old_acc = _old_eval(params)
             logger.log({f"Task {task} old Accuracy": old_acc})
         if workdir:
             save_task_checkpoint(
@@ -164,7 +191,8 @@ def run_continual_forgetting(cfg: RunConfig, params, train_ds: Dataset,
                 extra={"task": task, "best_h": res.best_h,
                        "forget_acc": res.forget_acc,
                        "remain_acc": res.remain_acc, "old_acc": old_acc})
-        out.tasks.append(TaskResult(task=task, result=res, old_acc=old_acc))
+        out.tasks.append(TaskResult(task=task, result=res, old_acc=old_acc,
+                                    old_acc_before=old_acc_before))
 
     out.final_params = params
     return out

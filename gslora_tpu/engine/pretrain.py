@@ -41,35 +41,57 @@ class PretrainState:
 
 def _accumulated(grad_fn, n: int):
     """Wrap ``grad_fn(x, y, rng) -> (grads, metrics)`` to run over ``n``
-    equal microbatch slices via lax.scan and average the results.
+    equal microbatch slices via lax.scan, weighted to the exact full-batch
+    masked mean.
 
     This is gradient accumulation INSIDE the one jitted step (a TPU-native
     addition — the reference has no accumulation, its nn.DataParallel path
     fits the full batch on 8 GPUs, train_own.py:403-406): only one
     microbatch's activations are ever live, so the effective batch scales
     past a single chip's activation memory at the cost of n sequential
-    passes. Exact for full batches (CE/accuracy are means over equal-size
-    micro slices); on a padded tail batch the micro-average weights valid
-    samples per-slice rather than globally — the standard accumulation
-    semantics.
+    passes.
+
+    Each slice's (grads, metrics) — masked MEANS over that slice's valid
+    samples (label >= 0; -1 is the mask_padding sentinel) — is scaled by
+    the slice's valid count, which by linearity recovers the grad/metric
+    of the masked SUM; dividing the accumulated sums by the global valid
+    count then equals the full-batch masked mean exactly, for full AND
+    padded-tail batches (a slice holding one valid sample contributes
+    1/total_valid per sample, never 1/(n*slice_valid); all-padding slices
+    contribute zero). Floating-point leaves accumulate in float32 even
+    when params/grads are bfloat16 (an n-way bf16 sum compounds rounding
+    the full-batch backward's fp32 reduction accumulators never see) and
+    are cast back after normalization. A batch whose size ``n`` does not
+    divide (an unpadded ragged tail) falls back to one full-batch call —
+    trace-time static-shape branch — instead of raising mid-run.
     """
     def accum(x, y, rng):
         b = x.shape[0]
-        if b % n:
-            raise ValueError(
-                f"grad_accum={n} does not divide batch size {b}")
+        if b % n:  # ragged unpadded tail: run it unaccumulated
+            return grad_fn(x, y, rng)
         xs = (x.reshape(n, b // n, *x.shape[1:]),
               y.reshape(n, b // n, *y.shape[1:]),
               jax.random.split(rng, n))
         shapes = jax.eval_shape(grad_fn, *(jax.tree.map(lambda t: t[0], xs)))
-        zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        zeros = jax.tree.map(
+            lambda s: jnp.zeros(
+                s.shape,
+                jnp.float32 if jnp.issubdtype(s.dtype, jnp.floating)
+                else s.dtype),
+            shapes)
 
         def body(carry, micro):
+            total, count = carry
+            valid = jnp.sum((micro[1] >= 0).astype(jnp.float32))
             out = grad_fn(*micro)
-            return jax.tree.map(jnp.add, carry, out), None
+            total = jax.tree.map(
+                lambda c, o: c + o.astype(c.dtype) * valid, total, out)
+            return (total, count + valid), None
 
-        total, _ = jax.lax.scan(body, zeros, xs)
-        return jax.tree.map(lambda t: t / n, total)
+        (total, count), _ = jax.lax.scan(body, (zeros, jnp.float32(0.0)), xs)
+        denom = jnp.maximum(count, 1.0)
+        return jax.tree.map(lambda t, s: (t / denom).astype(s.dtype),
+                            total, shapes)
 
     return accum
 

@@ -104,6 +104,57 @@ def from_torchvision_state_dict(sd: Dict[str, np.ndarray], model: ViTConfig,
     return {"base": base, "lora": lora_tree}
 
 
+def to_torchvision_state_dict(params: Dict, model: ViTConfig) -> Dict[str, np.ndarray]:
+    """Export our pytree back to torchvision vit_b_16 naming (inverse of
+    ``from_torchvision_state_dict``), including loralib-surgered LoRA keys
+    ``encoder.layers.encoder_layer_{i}.mlp.{0,3}.lora_{A,B}``
+    (util/utils.py:552-576 replace_ffn_with_lora) — so a VIT_B16 checkpoint
+    trained here round-trips into the reference's ImageNet-100 resume path
+    (train_own_forget_cl.py:206-243)."""
+    base = params["base"]
+    d, k = model.dim, model.patch_size
+    sd: Dict[str, np.ndarray] = {
+        "conv_proj.weight": np.asarray(base["patch"]["kernel"]).T.reshape(
+            d, model.channels, k, k),
+        "conv_proj.bias": np.asarray(base["patch"]["bias"]),
+        "class_token": np.asarray(base["cls_token"]).reshape(1, 1, -1),
+        "encoder.pos_embedding": np.asarray(base["pos_embed"])[None],
+        "encoder.ln.weight": np.asarray(base["head_ln"]["scale"]),
+        "encoder.ln.bias": np.asarray(base["head_ln"]["bias"]),
+        "heads.head.weight": np.asarray(base["head"]["weight"]),
+        "heads.head.bias": np.asarray(base["head"]["bias"]),
+    }
+    b = base["blocks"]
+    for i in range(model.depth):
+        p = f"encoder.layers.encoder_layer_{i}"
+        sd[f"{p}.ln_1.weight"] = np.asarray(b["attn_ln"]["scale"][i])
+        sd[f"{p}.ln_1.bias"] = np.asarray(b["attn_ln"]["bias"][i])
+        sd[f"{p}.self_attention.in_proj_weight"] = np.asarray(
+            b["qkv"]["kernel"][i]).T
+        sd[f"{p}.self_attention.in_proj_bias"] = np.asarray(
+            b["qkv"]["bias"][i])
+        sd[f"{p}.self_attention.out_proj.weight"] = np.asarray(
+            b["attn_out"]["kernel"][i]).T
+        sd[f"{p}.self_attention.out_proj.bias"] = np.asarray(
+            b["attn_out"]["bias"][i])
+        sd[f"{p}.ln_2.weight"] = np.asarray(b["ffn_ln"]["scale"][i])
+        sd[f"{p}.ln_2.bias"] = np.asarray(b["ffn_ln"]["bias"][i])
+        sd[f"{p}.mlp.0.weight"] = np.asarray(b["fc1"]["kernel"][i]).T
+        sd[f"{p}.mlp.0.bias"] = np.asarray(b["fc1"]["bias"][i])
+        sd[f"{p}.mlp.3.weight"] = np.asarray(b["fc2"]["kernel"][i]).T
+        sd[f"{p}.mlp.3.bias"] = np.asarray(b["fc2"]["bias"][i])
+    lt = params.get("lora", {})
+    if "ffn" in lt:
+        f = lt["ffn"]
+        for i in range(model.depth):
+            p = f"encoder.layers.encoder_layer_{i}.mlp"
+            sd[f"{p}.0.lora_A"] = np.asarray(f["A1"][i])
+            sd[f"{p}.0.lora_B"] = np.asarray(f["B1"][i])
+            sd[f"{p}.3.lora_A"] = np.asarray(f["A2"][i])
+            sd[f"{p}.3.lora_B"] = np.asarray(f["B2"][i])
+    return sd
+
+
 def modify_head(params: Dict, class_id_map: Dict[int, int]) -> Dict:
     """Slice the 1000-class head down to the run's classes
     (util/utils.py:579-619): row i of the new head = original-ImageNet row

@@ -171,11 +171,50 @@ def test_grad_accum_lora_only_and_indivisible():
     np.testing.assert_array_equal(
         np.asarray(params["base"]["patch"]["kernel"]),
         np.asarray(state.params["base"]["patch"]["kernel"]))
-    with pytest.raises(ValueError, match="grad_accum"):
-        step3 = make_pretrain_step(CFG, lora, opt,
-                                   compute_dtype=jnp.float32,
-                                   lora_only=True, grad_accum=3)
-        step3(state, x, y, jnp.float32(1e-3), jax.random.key(0))
+    # an indivisible (ragged unpadded tail) batch falls back to one
+    # unaccumulated full-batch call instead of raising mid-run
+    state0 = PretrainState.create(params, opt, lora_only=True)
+    step3 = make_pretrain_step(CFG, lora, opt, compute_dtype=jnp.float32,
+                               lora_only=True, grad_accum=3)
+    step1 = make_pretrain_step(CFG, lora, opt, compute_dtype=jnp.float32,
+                               lora_only=True, grad_accum=1)
+    s3, m3 = step3(state0, x, y, jnp.float32(1e-3), jax.random.key(0))
+    s1, m1 = step1(state0, x, y, jnp.float32(1e-3), jax.random.key(0))
+    assert float(m3["loss"]) == float(m1["loss"])
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s3.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grad_accum_padded_tail_weighting():
+    """With mask_padding sentinels (-1), accumulation must weight each
+    micro slice by its VALID count so the update equals the full-batch
+    masked mean — including when one slice is ALL padding (ADVICE r3:
+    per-micro mean averaging gave tail samples up to (B/n)x weight and
+    deflated updates on all-pad slices)."""
+    from gslora_tpu.engine.pretrain import PretrainState, make_pretrain_step
+    lora = LoraConfig(rank=0)
+    x = jax.random.normal(jax.random.key(1), (8, 3, 16, 16))
+    # 3 valid samples, unevenly split across 4 micro slices of 2:
+    # [0,1] [2,-1] [-1,-1] [-1,-1]
+    y = jnp.array([0, 1, 2, -1, -1, -1, -1, -1])
+
+    def run(n):
+        params = init_vit_params(jax.random.key(0), CFG, lora)
+        opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-3))
+        state = PretrainState.create(params, opt)
+        step = make_pretrain_step(CFG, lora, opt, compute_dtype=jnp.float32,
+                                  grad_accum=n)
+        return step(state, x, y, jnp.float32(1e-3), jax.random.key(0))
+
+    ref_state, ref_m = run(1)
+    for n in (2, 4):
+        st, m = run(n)
+        assert abs(float(m["loss"]) - float(ref_m["loss"])) < 1e-6
+        assert abs(float(m["acc"]) - float(ref_m["acc"])) < 1e-4
+        for a, b in zip(jax.tree.leaves(ref_state.params),
+                        jax.tree.leaves(st.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-7)
 
 
 def test_grad_accum_flag_parses():

@@ -95,6 +95,15 @@ class ViTConfig:
     # is nearly free there anyway (nodrop 3701 = +0.18 ms/step) — kept
     # only as a documented negative result / option
     dropout_impl: str = "uniform"
+    # perf-ablation knobs (defaults preserve torch parity; used by
+    # scripts/perf_attention_lab to re-take the VPU-cost breakdown at the
+    # post-unroll optimum — VERDICT r3 #4):
+    # block LayerNorms in fp32 (torch nn.LayerNorm parity; measured FASTER
+    # than bf16 LN pre-unroll, DEVNOTES round 1) or "bf16"
+    ln_dtype: str = "fp32"
+    # FFN GELU: "erf" = fp32 erf (torch default parity), "erf_bf16" =
+    # erf in compute dtype, "tanh" = tanh approximation (parity-diverging)
+    gelu_impl: str = "erf"
     # device-side input normalization applied ONLY to uint8 inputs
     # (uint8_transfer path): "none" = ToTensor only (/255 — the face
     # path), "imagenet" = /255 then the torchvision ImageNet mean/std

@@ -110,13 +110,14 @@ def init_vit_params(key, model: ViTConfig, lora: Optional[LoraConfig] = None,
 
 
 def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
-                eps: float = 1e-5) -> jax.Array:
-    """LayerNorm in fp32 (torch nn.LayerNorm eps=1e-5)."""
-    xf = x.astype(jnp.float32)
+                eps: float = 1e-5, ln_dtype: str = "fp32") -> jax.Array:
+    """LayerNorm in fp32 (torch nn.LayerNorm eps=1e-5). ``ln_dtype="bf16"``
+    keeps the input dtype (perf ablation, ViTConfig.ln_dtype)."""
+    xf = x.astype(jnp.float32) if ln_dtype == "fp32" else x
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
-    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y * scale.astype(xf.dtype) + bias.astype(xf.dtype)
 
 
 def _proj(x: jax.Array, kernel: jax.Array, model: ViTConfig) -> jax.Array:
@@ -178,7 +179,8 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
                      rngs, deterministic: bool):
     """Pre-norm MHA with residual (vit_face.py:341-379)."""
     cdt = x.dtype
-    h = _layer_norm(x, blk["attn_ln"]["scale"], blk["attn_ln"]["bias"])
+    h = _layer_norm(x, blk["attn_ln"]["scale"], blk["attn_ln"]["bias"],
+                    ln_dtype=model.ln_dtype)
     h = h.astype(cdt)
     qkv = _proj(h, blk["qkv"]["kernel"], model)
     if "bias" in blk["qkv"]:
@@ -279,14 +281,21 @@ def _ffn_block(x, blk, lora_blk, model: ViTConfig, scaling: float, rngs,
     """Pre-norm LoRA-FFN with residual (vit_face.py:326-338): where the
     GS-LoRA trainable parameters live."""
     cdt = x.dtype
-    h = _layer_norm(x, blk["ffn_ln"]["scale"], blk["ffn_ln"]["bias"])
+    h = _layer_norm(x, blk["ffn_ln"]["scale"], blk["ffn_ln"]["bias"],
+                    ln_dtype=model.ln_dtype)
     h = h.astype(cdt)
     u = _proj(h, blk["fc1"]["kernel"], model)
     u = u + blk["fc1"]["bias"].astype(cdt)
     if lora_blk is not None and "ffn" in lora_blk:
         u = u + lora_delta(h, lora_blk["ffn"]["A1"], lora_blk["ffn"]["B1"],
                            scaling)
-    u = jax.nn.gelu(u.astype(jnp.float32), approximate=False).astype(cdt)
+    if model.gelu_impl == "erf":
+        # torch nn.GELU parity: exact erf in fp32
+        u = jax.nn.gelu(u.astype(jnp.float32), approximate=False).astype(cdt)
+    elif model.gelu_impl == "erf_bf16":
+        u = jax.nn.gelu(u, approximate=False)
+    else:  # "tanh" — parity-diverging ablation
+        u = jax.nn.gelu(u, approximate=True)
     u = _dropout(u, model.dropout, rngs[1] if rngs is not None else None,
                  deterministic, impl=model.dropout_impl)
     y = _proj(u, blk["fc2"]["kernel"], model)

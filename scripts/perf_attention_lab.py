@@ -109,6 +109,12 @@ def main():
                                 scan_unroll=unroll,
                                 dropout_impl=("bits16" if "bits" in parts[1:]
                                               else "uniform"),
+                                ln_dtype=("bf16" if "lnbf16" in parts[1:]
+                                          else "fp32"),
+                                gelu_impl=("erf_bf16" if "gelubf16"
+                                           in parts[1:] else
+                                           "tanh" if "gelutanh" in parts[1:]
+                                           else "erf"),
                                 **({"dropout": 0.0, "emb_dropout": 0.0}
                                    if nodrop else {}))
         try:

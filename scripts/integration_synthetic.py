@@ -17,6 +17,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from gslora_tpu.cli.common import setup_jax_runtime
+
+setup_jax_runtime()  # persistent compile cache (slow remote compiles)
+
 import jax
 import jax.numpy as jnp
 import numpy as np

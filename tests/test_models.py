@@ -250,3 +250,33 @@ def test_bits16_dropout_distribution_and_values():
     d2 = vit_embed(params, xb, CFG, LORA, train=False,
                    compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2))
+
+
+def test_ln_gelu_perf_knobs():
+    """ViTConfig.ln_dtype / gelu_impl (perf-ablation knobs, VERDICT r3 #4):
+    with fp32 compute the "bf16" variants are exact no-ops (the input is
+    already fp32, so keeping its dtype == the fp32 default), tanh GELU is
+    close-but-diverging, and under bf16 compute every knob stays within
+    bf16-roundoff of the parity default."""
+    import dataclasses
+    params = _params()
+    x = jax.random.normal(jax.random.key(5), (2, 3, 32, 32))
+
+    ref32 = vit_embed(params, x, CFG, LORA, compute_dtype=jnp.float32)
+    for knob in (dict(ln_dtype="bf16"), dict(gelu_impl="erf_bf16")):
+        cfg = dataclasses.replace(CFG, **knob)
+        out = vit_embed(params, x, cfg, LORA, compute_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref32),
+                                      err_msg=str(knob))
+    tanh = vit_embed(params, x, dataclasses.replace(CFG, gelu_impl="tanh"),
+                     LORA, compute_dtype=jnp.float32)
+    diff = float(jnp.abs(tanh - ref32).max())
+    assert 0.0 < diff < 0.05, diff  # diverging (documented), but small
+
+    refbf = vit_embed(params, x, CFG, LORA, compute_dtype=jnp.bfloat16)
+    for knob in (dict(ln_dtype="bf16"), dict(gelu_impl="erf_bf16"),
+                 dict(ln_dtype="bf16", gelu_impl="erf_bf16")):
+        cfg = dataclasses.replace(CFG, **knob)
+        out = vit_embed(params, x, cfg, LORA, compute_dtype=jnp.bfloat16)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(refbf),
+                                   rtol=0.05, atol=0.15, err_msg=str(knob))

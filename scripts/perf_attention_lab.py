@@ -13,7 +13,11 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STEP_GFLOP_PER_IMG = 21.3  # compiled-step accounting (BASELINE.md round 3)
 CEILING_TFLOPS = 161.0  # re-probed v5e roof (scripts/roofline_probe, round 3)
@@ -85,8 +89,6 @@ def main():
     import jax
     jax.config.update("jax_default_prng_impl", "rbg")
 
-    import sys
-    sys.path.insert(0, ".")
     from __graft_entry__ import _flagship_configs
     model, lora, fcfg = _flagship_configs()
 

@@ -559,6 +559,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dropout mask generator: uniform fp32 compare or "
                         "raw uint16 RBG lanes (cheaper on TPU; keep-prob "
                         "quantized at 2^-16)")
+    p.add_argument("--ln_dtype", default="fp32", type=str,
+                   choices=["fp32", "bf16"],
+                   help="block LayerNorm stats dtype: fp32 = torch parity "
+                        "(default); bf16 saves ~0.8 ms/step on the v5e "
+                        "flagship step (round-4 breakdown)")
+    p.add_argument("--gelu_impl", default="erf", type=str,
+                   choices=["erf", "erf_bf16", "tanh"],
+                   help="FFN GELU: erf = torch parity (default); tanh "
+                        "saves ~1.2 ms/step but diverges from torch-erf "
+                        "numerics; erf_bf16 is a documented negative "
+                        "result (slower)")
+    p.add_argument("--fast_math", action="store_true",
+                   help="opt-in speed preset: ln_dtype=bf16 + "
+                        "gelu_impl=tanh (+10%% step rate on the v5e "
+                        "flagship config; diverges from torch-parity "
+                        "numerics at bf16-roundoff scale — see "
+                        "BASELINE.md round-4 breakdown)")
     p.add_argument("--profile_dir", default="", type=str,
                    help="write a jax.profiler trace of the run here "
                         "(TensorBoard-viewable)")
@@ -607,6 +624,9 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         method = "der_plus"
 
     imagenet = args.data_mode == "imagenet100"
+    fast = getattr(args, "fast_math", False)
+    ln_dtype = "bf16" if fast else getattr(args, "ln_dtype", "fp32")
+    gelu_impl = "tanh" if fast else getattr(args, "gelu_impl", "erf")
     if args.net == "VIT_B16":
         # full torchvision parity (qkv bias, head-dim scale, conv patchify,
         # no dropout) — the importer's weight layout depends on these
@@ -616,6 +636,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
             dropout_impl=getattr(args, "dropout_impl", "uniform"),
             gemm_impl=getattr(args, "gemm_impl", "default"),
             attn_impl=getattr(args, "attn_impl", "auto"),
+            ln_dtype=ln_dtype, gelu_impl=gelu_impl,
             # device-side normalization must mirror what the host
             # transform applies: ImageNet data normalizes, the face
             # pipeline is ToTensor-only — otherwise --uint8_transfer on
@@ -628,6 +649,7 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
             dropout_impl=getattr(args, "dropout_impl", "uniform"),
             gemm_impl=getattr(args, "gemm_impl", "default"),
             attn_impl=getattr(args, "attn_impl", "auto"),
+            ln_dtype=ln_dtype, gelu_impl=gelu_impl,
             input_norm="imagenet" if imagenet else "none",
             image_size=224 if imagenet else 112,
             patch_size=16 if imagenet else 8,

@@ -196,16 +196,24 @@ def _attention_block(x, blk, lora_blk, model: ViTConfig, scaling: float,
         ** -0.5
     impl = model.attn_impl
     if impl == "auto":
-        # blocked Pallas kernel wins on real TPU (2267 vs 2153 img/s full
-        # step, v5e); interpret-mode Pallas on CPU is test-only slow —
-        # keep the XLA einsum there. Multi-device: the pallas_call custom
-        # op carries no GSPMD partitioning rule, so it only runs when the
-        # loop registered a mesh (the kernel then runs per-shard under
-        # jax.shard_map); an unregistered multi-device context falls back
-        # to the einsums, which shard batch-wise for free.
+        # the blocked Pallas kernel wins under the per-layer SCAN on real
+        # TPU (2267 vs 2153 img/s full step, v5e round 2) — it amortizes
+        # the scan's per-GEMM pipeline bubbles. Under FULL UNROLL those
+        # bubbles are gone and XLA's batched einsums win or tie at every
+        # measured batch (b24: 3757 vs 3537 img/s; b48: tie — round-4
+        # breakdown, DEVNOTES), so auto prefers xla there. Interpret-mode
+        # Pallas on CPU is test-only slow — keep the XLA einsum there.
+        # Multi-device: the pallas_call custom op carries no GSPMD
+        # partitioning rule, so it only runs when the loop registered a
+        # mesh (the kernel then runs per-shard under jax.shard_map); an
+        # unregistered multi-device context falls back to the einsums,
+        # which shard batch-wise for free.
         from gslora_tpu.parallel.mesh import attention_mesh, sequence_mesh
+        on_accel = jax.default_backend() != "cpu"
+        full_unroll = model.scan_unroll == 0 or \
+            model.scan_unroll >= model.depth
         single = jax.device_count() == 1
-        impl = "pallas" if (jax.default_backend() != "cpu" and
+        impl = "pallas" if (on_accel and not full_unroll and
                             (single or attention_mesh() is not None)) \
             else "xla"
         if sequence_mesh() is not None:

@@ -213,3 +213,25 @@ def test_vit_b16_input_norm_follows_data_mode():
     cfg_face = config_from_args(p.parse_args(
         ["-n", "VIT_B16", "-d", "casia100"]))
     assert cfg_face.model.input_norm == "none"
+
+
+def test_fast_math_flag_wiring():
+    """--fast_math = ln_dtype bf16 + gelu tanh (round-4 speed preset);
+    individual --ln_dtype/--gelu_impl flags pass through; defaults stay
+    torch-parity. Applies to both the P8S8 and VIT_B16 config builders."""
+    from gslora_tpu.config import build_parser, config_from_args
+    p = build_parser()
+    # casia100: the _tiny_model autouse fixture rebuilds synthetic-mode
+    # models and would drop these fields
+    for argv, want in [
+        (["--data_mode", "casia100", "--fast_math"], ("bf16", "tanh")),
+        (["--data_mode", "casia100", "--ln_dtype", "bf16"],
+         ("bf16", "erf")),
+        (["--data_mode", "casia100", "--gelu_impl", "erf_bf16"],
+         ("fp32", "erf_bf16")),
+        (["--data_mode", "casia100", "--net", "VIT_B16", "--fast_math"],
+         ("bf16", "tanh")),
+        (["--data_mode", "casia100"], ("fp32", "erf")),
+    ]:
+        cfg = config_from_args(p.parse_args(argv))
+        assert (cfg.model.ln_dtype, cfg.model.gelu_impl) == want, argv

@@ -242,9 +242,6 @@ def main(argv=None):
     setup_jax_runtime(rng_impl="rbg" if getattr(args, "fast", False)
                       else None)
     cfg = config_from_args(args)
-    if cfg.optim.grad_accum > 1:
-        print("WARNING: --grad_accum is only implemented for the pretrain "
-              "step (train_pretrain); the CL forget loops ignore it.")
     train_ds, test_ds = build_datasets(cfg)
     order = make_order_list(cfg.model.num_class, seed=cfg.data.seed)
     params = build_params(cfg)

@@ -519,11 +519,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "mesh axis (batch shards over dcn x data; only the "
                         "gradient all-reduce crosses DCN)")
     p.add_argument("--grad_accum", default=1, type=int,
-                   help="gradient accumulation: split each pretrain batch "
-                        "into N microbatches inside the jitted step (one "
-                        "optimizer update per batch; activation memory / N)."
-                        " Pretrain only — the forget/CL steps ignore it "
-                        "(they warn when N>1)")
+                   help="gradient accumulation: split each batch into N "
+                        "microbatches inside the jitted step (one optimizer "
+                        "update per batch; activation memory / N). Exact "
+                        "for the pretrain step AND the dual-batch forget/CL "
+                        "step (two-phase gate scheme for the bounded/hinged "
+                        "losses — engine/forget.py)")
     # TPU execution modes (gslora_tpu additions; defaults reference-faithful)
     p.add_argument("--lora_apply", default="factored", type=str,
                    choices=["factored", "merged"])

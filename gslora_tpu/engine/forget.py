@@ -38,7 +38,8 @@ def make_forget_step(model: ViTConfig, lora: LoraConfig, fcfg: ForgetConfig,
                      structure_mode: str = "loss",
                      lora_apply: str = "factored",
                      fused_batch: bool = False,
-                     trainable: str = "lora"):
+                     trainable: str = "lora",
+                     grad_accum: int = 1):
     """Build the jitted dual-batch train step.
 
     step(state, xf, yf, xr, yr, protos, scalars, rng) -> (state, metrics)
@@ -60,6 +61,22 @@ def make_forget_step(model: ViTConfig, lora: LoraConfig, fcfg: ForgetConfig,
                train_own_forget_open.py:699-706) used by the open-set
                recipes. The state must be created with
                ForgetState.create(..., trainable="base").
+
+    grad_accum > 1 runs each dual batch as that many microbatch pairs
+    inside the jitted step (TPU-native addition — the reference has no
+    accumulation; nn.DataParallel spreads the batch over 8 GPUs,
+    train_own.py:403-406). The GS-LoRA loss is NOT a plain per-sample
+    mean: ``relu(BND - CE_f)`` and ``relu(BND_pro - L_pro_f)`` gate on
+    GLOBAL batch means, so naively averaging per-micro losses would relu
+    each micro separately and change the gradient whenever micro CEs
+    straddle the bound. Exactness comes from a two-phase scheme (see
+    ``_accum_grads``): a forward-only gate pass computes the global means
+    (and all metrics), then the grad pass differentiates a gated-LINEAR
+    surrogate whose micro-gradient sum equals the full-batch gradient
+    identically (same dropout masks per micro in both phases). Cost: one
+    extra forward (~+1/3 step FLOPs) for activation memory divided by
+    grad_accum; batches not divisible by grad_accum (in either stream)
+    fall back to the unaccumulated path at trace time.
     """
     use_proto = fcfg.prototype if use_prototype is None else use_prototype
     use_prox = structure_mode == "prox"
@@ -69,14 +86,17 @@ def make_forget_step(model: ViTConfig, lora: LoraConfig, fcfg: ForgetConfig,
         raise ValueError(
             "structure_mode='prox' supports lora_pos='FFN' only; use the "
             "reference-faithful structure_mode='loss' for Attention LoRA")
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     train_base = trainable == "base"
 
-    def loss_fn(train_tree, other, xf, yf, xr, yr, protos, sc, rng):
+    def _tree(train_tree, other):
         if train_base:
-            base, lora_tree = train_tree, other
-        else:
-            base, lora_tree = other, train_tree
-        params = {"base": base, "lora": lora_tree}
+            return {"base": train_tree, "lora": other}, other
+        return {"base": other, "lora": train_tree}, train_tree
+
+    def forward(params, xf, yf, xr, yr, rng):
+        """Dual-stream forward -> (logits_f, emb_f, logits_r, emb_r)."""
         if fused_batch:
             # one forward over [forget; remain] — fewer, bigger matmuls
             # (identical math; dropout masks stay iid per sample)
@@ -86,18 +106,22 @@ def make_forget_step(model: ViTConfig, lora: LoraConfig, fcfg: ForgetConfig,
                                     rng=rng, compute_dtype=compute_dtype,
                                     lora_apply=lora_apply)
             nf = xf.shape[0]
-            logits_f, logits_r = logits[:nf], logits[nf:]
-            emb_f, emb_r = emb[:nf], emb[nf:]
-        else:
-            rf, rr = jax.random.split(rng)
-            logits_f, emb_f = vit_apply(params, xf, yf, model, lora,
-                                        train=True, rng=rf,
-                                        compute_dtype=compute_dtype,
-                                        lora_apply=lora_apply)
-            logits_r, emb_r = vit_apply(params, xr, yr, model, lora,
-                                        train=True, rng=rr,
-                                        compute_dtype=compute_dtype,
-                                        lora_apply=lora_apply)
+            return logits[:nf], emb[:nf], logits[nf:], emb[nf:]
+        rf, rr = jax.random.split(rng)
+        logits_f, emb_f = vit_apply(params, xf, yf, model, lora,
+                                    train=True, rng=rf,
+                                    compute_dtype=compute_dtype,
+                                    lora_apply=lora_apply)
+        logits_r, emb_r = vit_apply(params, xr, yr, model, lora,
+                                    train=True, rng=rr,
+                                    compute_dtype=compute_dtype,
+                                    lora_apply=lora_apply)
+        return logits_f, emb_f, logits_r, emb_r
+
+    def loss_fn(train_tree, other, xf, yf, xr, yr, protos, sc, rng):
+        params, lora_tree = _tree(train_tree, other)
+        logits_f, emb_f, logits_r, emb_r = forward(params, xf, yf, xr, yr,
+                                                   rng)
 
         ce_r = cross_entropy(logits_r, yr)
         l_forget = bounded_forget_loss(logits_f, yf, sc["bnd"])
@@ -126,6 +150,116 @@ def make_forget_step(model: ViTConfig, lora: LoraConfig, fcfg: ForgetConfig,
         }
         return total, metrics
 
+    def _micro_sums(params, xf, yf, xr, yr, protos, rng):
+        """Masked per-sample SUMS (+ valid counts) of every data-dependent
+        term over one microbatch pair. The losses are masked MEANS with a
+        max(valid, 1) denominator, so mean * valid recovers the masked sum
+        exactly (an all-padding slice contributes 0, never NaN)."""
+        logits_f, emb_f, logits_r, emb_r = forward(params, xf, yf, xr, yr,
+                                                   rng)
+        wf = jnp.sum((yf >= 0).astype(jnp.float32))
+        wr = jnp.sum((yr >= 0).astype(jnp.float32))
+        s = {
+            "nf": wf, "nr": wr,
+            "ce_f": cross_entropy(logits_f, yf) * wf,
+            "ce_r": cross_entropy(logits_r, yr) * wr,
+            "acc_f": top1_accuracy(logits_f, yf) * wf,
+            "acc_r": top1_accuracy(logits_r, yr) * wr,
+        }
+        if use_proto:
+            from gslora_tpu.losses.prototype import prototype_loss
+            s["pro_f"] = prototype_loss(emb_f, yf, protos,
+                                        fcfg.prototype_distance) * wf
+            s["pro_r"] = prototype_loss(emb_r, yr, protos,
+                                        fcfg.prototype_distance) * wr
+        return s
+
+    def _accum_grads(train_tree, other, xf, yf, xr, yr, protos, sc, rng):
+        """Gradient accumulation over ``grad_accum`` microbatch pairs,
+        EXACTLY equal to the full-batch gradient (see make_forget_step
+        docstring — the bounded/hinged terms gate on global batch means,
+        so per-micro loss averaging would be wrong whenever micro CEs
+        straddle the bound).
+
+        Phase 1 (gate pass, forward-only scan): accumulate masked sums of
+        CE/prototype/accuracy per stream -> global means, relu gates and
+        the step metrics. Phase 2 (grad scan, same per-micro dropout
+        keys): differentiate the gated-linear surrogate
+          -beta*g_f*CE_f - w_f*g_p*L_pro_f + CE_r + w_r*L_pro_r
+          (+ alpha*L_struct, data-independent)
+        whose per-micro pieces sum to the true gradient by linearity;
+        gradients accumulate in fp32 regardless of param dtype."""
+        n = grad_accum
+        params, lora_tree = _tree(train_tree, other)
+        keys = jax.random.split(rng, n)
+        xs = tuple(t.reshape(n, t.shape[0] // n, *t.shape[1:])
+                   for t in (xf, yf, xr, yr)) + (keys,)
+
+        def fwd_body(carry, micro):
+            s = _micro_sums(params, *micro[:4], protos, micro[4])
+            return jax.tree.map(jnp.add, carry, s), None
+
+        zeros = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(lambda m: _micro_sums(params, *m[:4], protos,
+                                                 m[4]),
+                           jax.tree.map(lambda t: t[0], xs)))
+        sums, _ = jax.lax.scan(fwd_body, zeros, xs)
+        nf = jnp.maximum(sums["nf"], 1.0)
+        nr = jnp.maximum(sums["nr"], 1.0)
+        ce_f, ce_r = sums["ce_f"] / nf, sums["ce_r"] / nr
+        l_forget = jax.nn.relu(sc["bnd"] - ce_f)
+        # relu' convention: jax.nn.relu has zero derivative AT the kink,
+        # so the gate is the STRICT inequality
+        gate_f = (sc["bnd"] - ce_f > 0).astype(jnp.float32)
+        l_struct = jnp.float32(0.0) if use_prox else \
+            group_lasso(lora_tree, fcfg.group_type, fcfg.group_pos)
+        if use_proto:
+            l_pro_f, l_pro_r = sums["pro_f"] / nf, sums["pro_r"] / nr
+            hinged = jax.nn.relu(sc["bnd_pro"] - l_pro_f)
+            gate_p = (sc["bnd_pro"] - l_pro_f > 0).astype(jnp.float32)
+            l_proto = sc["w_pro_f"] * hinged + sc["w_pro_r"] * l_pro_r
+        else:
+            hinged = l_pro_r = l_proto = jnp.float32(0.0)
+            gate_p = jnp.float32(0.0)
+        total = sc["beta"] * l_forget + ce_r + sc["alpha"] * l_struct + \
+            l_proto
+        metrics = {
+            "loss_total": total,
+            "loss_forget": sc["beta"] * l_forget,
+            "loss_remain": ce_r,
+            "loss_structure": sc["alpha"] * l_struct,
+            "loss_prototype_forget": sc["w_pro_f"] * hinged,
+            "loss_prototype_remain": sc["w_pro_r"] * l_pro_r,
+            "acc_forget": sums["acc_f"] / nf,
+            "acc_remain": sums["acc_r"] / nr,
+        }
+
+        def surrogate(train_tree, micro):
+            params, lora_tree = _tree(train_tree, other)
+            s = _micro_sums(params, *micro[:4], protos, micro[4])
+            g = (-sc["beta"] * gate_f * s["ce_f"]) / nf + s["ce_r"] / nr
+            if use_proto:
+                g = g + (-sc["w_pro_f"] * gate_p * s["pro_f"]) / nf \
+                    + sc["w_pro_r"] * s["pro_r"] / nr
+            if not train_base and not use_prox:
+                # data-independent; 1/n per micro sums to alpha*L_struct
+                g = g + sc["alpha"] * group_lasso(
+                    lora_tree, fcfg.group_type, fcfg.group_pos) / n
+            return g
+
+        def grad_body(carry, micro):
+            g = jax.grad(surrogate)(train_tree, micro)
+            return jax.tree.map(lambda c, gi: c + gi.astype(c.dtype),
+                                carry, g), None
+
+        gzeros = jax.tree.map(
+            lambda t: jnp.zeros(t.shape, jnp.float32), train_tree)
+        gsum, _ = jax.lax.scan(grad_body, gzeros, xs)
+        grads = jax.tree.map(lambda g, t: g.astype(t.dtype), gsum,
+                             train_tree)
+        return grads, metrics
+
     # note: no buffer donation — the large base subtree passes through
     # unchanged (XLA aliases it), and donating would invalidate the
     # caller-held initial params on TPU
@@ -133,8 +267,15 @@ def make_forget_step(model: ViTConfig, lora: LoraConfig, fcfg: ForgetConfig,
     def step(state: ForgetState, xf, yf, xr, yr, protos, scalars, rng):
         train_tree = state.base if train_base else state.lora
         other = state.lora if train_base else state.base
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            train_tree, other, xf, yf, xr, yr, protos, scalars, rng)
+        if grad_accum > 1 and xf.shape[0] % grad_accum == 0 and \
+                xr.shape[0] % grad_accum == 0:
+            grads, metrics = _accum_grads(
+                train_tree, other, xf, yf, xr, yr, protos, scalars, rng)
+        else:
+            # grad_accum == 1, or a ragged unpadded tail batch that the
+            # micro split cannot slice evenly — run it unaccumulated
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                train_tree, other, xf, yf, xr, yr, protos, scalars, rng)
         opt_state = _with_lr(state.opt_state, scalars["lr"])
         updates, opt_state = optimizer.update(grads, opt_state, train_tree)
         new_tree = optax.apply_updates(train_tree, updates)

@@ -100,7 +100,8 @@ def _cached_step(model, lora, fcfg, optim_cfg, cdt, lora_apply,
     step = make_forget_step(model, lora, fcfg, opt, compute_dtype=cdt,
                             lora_apply=lora_apply,
                             structure_mode=structure_mode,
-                            fused_batch=fused_batch, trainable=trainable)
+                            fused_batch=fused_batch, trainable=trainable,
+                            grad_accum=optim_cfg.grad_accum)
     return opt, step
 
 

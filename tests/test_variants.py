@@ -221,3 +221,125 @@ def test_grad_accum_flag_parses():
     from gslora_tpu.config import build_parser, config_from_args
     a = build_parser().parse_args(["-b", "16", "--grad_accum", "4"])
     assert config_from_args(a).optim.grad_accum == 4
+
+
+def _forget_accum_run(n, bnd=10.0, yf=None, yr=None, proto_w=0.1,
+                      fused=False, rank=4, steps=2, bnd_pro=18.0):
+    lora = LoraConfig(rank=rank)
+    fcfg = ForgetConfig(alpha_epoch=0, prototype=proto_w > 0)
+    params = init_vit_params(jax.random.key(0), CFG, lora)
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-3))
+    trainable = "lora" if rank else "base"
+    state = ForgetState.create(params, opt, trainable=trainable)
+    step = make_forget_step(CFG, lora, fcfg, opt, compute_dtype=jnp.float32,
+                            use_prototype=proto_w > 0, fused_batch=fused,
+                            trainable=trainable, grad_accum=n)
+    xf = jax.random.normal(jax.random.key(1), (8, 3, 16, 16))
+    xr = jax.random.normal(jax.random.key(2), (8, 3, 16, 16))
+    yf = jnp.array([4, 5, 4, 5, 4, 5, 4, 5]) if yf is None else yf
+    yr = jnp.array([0, 1, 2, 3, 0, 1, 2, 3]) if yr is None else yr
+    protos = jax.random.normal(jax.random.key(3), (6, 32))
+    sc = {k: jnp.float32(v) for k, v in dict(
+        beta=0.3, alpha=0.01, lr=1e-3, bnd=bnd, bnd_pro=bnd_pro,
+        w_pro_f=proto_w, w_pro_r=proto_w).items()}
+    m = None
+    for i in range(steps):
+        state, m = step(state, xf, yf, xr, yr, protos, sc, jax.random.key(i))
+    return state, m
+
+
+def _assert_forget_states_match(ref, got, rtol=1e-4, atol=1e-6):
+    ref_state, ref_m = ref
+    got_state, got_m = got
+    for k in ref_m:
+        assert abs(float(got_m[k]) - float(ref_m[k])) < \
+            1e-4 * max(1.0, abs(float(ref_m[k]))), \
+            (k, float(got_m[k]), float(ref_m[k]))
+    for a, b in zip(jax.tree.leaves((ref_state.lora, ref_state.base)),
+                    jax.tree.leaves((got_state.lora, got_state.base))):
+        # AdamW's eps nonlinearity amplifies micro-sum reassociation noise
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=rtol, atol=atol)
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_forget_grad_accum_matches_full_batch(fused):
+    """grad_accum on the DUAL-batch forget step == the full-batch step:
+    the two-phase gate scheme (engine/forget._accum_grads) must reproduce
+    the bounded-CE + hinged-prototype + group-Lasso gradient exactly
+    (fp32, dropout off), in both forward layouts."""
+    ref = _forget_accum_run(1, fused=fused)
+    for n in (2, 4):
+        _assert_forget_states_match(ref, _forget_accum_run(n, fused=fused))
+
+
+def test_forget_grad_accum_gate_straddle():
+    """The case naive per-micro loss averaging gets WRONG: micro-level
+    forget-CEs straddling BND (relu gating each micro separately) must not
+    change the gradient — the gate is a function of the GLOBAL mean.
+    Constructed by measuring the per-micro CEs and placing BND strictly
+    between them (global gate ON, one micro's local gate would be OFF),
+    then the reverse (global gate OFF while a local one would be ON)."""
+    from gslora_tpu.losses.classification import cross_entropy
+    lora = LoraConfig(rank=4)
+    params = init_vit_params(jax.random.key(0), CFG, lora)
+    xf = jax.random.normal(jax.random.key(1), (8, 3, 16, 16))
+    # labels chosen per-half so the two micro slices (n=2) have different
+    # CEs: first half "easy" duplicated labels, second half spread
+    yf = jnp.array([4, 4, 4, 4, 5, 3, 2, 1])
+    logits, _ = vit_apply(params, xf, yf, CFG, lora, train=False,
+                          compute_dtype=jnp.float32)
+    ce = [float(cross_entropy(logits[i * 4:(i + 1) * 4],
+                              yf[i * 4:(i + 1) * 4])) for i in range(2)]
+    ce_lo, ce_hi = sorted(ce)
+    ce_all = float(cross_entropy(logits, yf))  # equal counts: the average
+    assert ce_lo < ce_all < ce_hi and ce_hi - ce_lo > 1e-4, \
+        "need distinct micro CEs for the straddle"
+    for bnd in ((ce_all + ce_hi) / 2,   # global gate ON, hi-micro's OFF
+                (ce_lo + ce_all) / 2):  # global gate OFF, lo-micro's ON
+        ref = _forget_accum_run(1, bnd=bnd, yf=yf, steps=1)
+        _assert_forget_states_match(
+            ref, _forget_accum_run(2, bnd=bnd, yf=yf, steps=1))
+
+
+def test_forget_grad_accum_padded_and_base():
+    """Padding sentinels spread unevenly over micro slices (incl. an
+    all-padding slice) weight by GLOBAL valid counts; the rank-0
+    train-all-parameters path accumulates over the base tree."""
+    yf = jnp.array([4, 5, 4, -1, -1, -1, -1, -1])
+    yr = jnp.array([0, 1, 2, 3, 0, -1, -1, -1])
+    ref = _forget_accum_run(1, yf=yf, yr=yr)
+    for n in (2, 4):
+        _assert_forget_states_match(ref, _forget_accum_run(n, yf=yf, yr=yr))
+    ref0 = _forget_accum_run(1, rank=0, proto_w=0.0, steps=1)
+    _assert_forget_states_match(
+        ref0, _forget_accum_run(2, rank=0, proto_w=0.0, steps=1))
+
+
+def test_forget_grad_accum_indivisible_falls_back():
+    """A stream not divisible by grad_accum runs the unaccumulated path
+    bit-exactly (trace-time static-shape branch)."""
+    lora = LoraConfig(rank=4)
+    fcfg = ForgetConfig(alpha_epoch=0)
+    params = init_vit_params(jax.random.key(0), CFG, lora)
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-3))
+    xf = jax.random.normal(jax.random.key(1), (6, 3, 16, 16))
+    xr = jax.random.normal(jax.random.key(2), (4, 3, 16, 16))
+    yf = jnp.array([4, 5, 4, 5, 4, 5])
+    yr = jnp.array([0, 1, 2, 3])
+    protos = jnp.zeros((6, 32))
+    sc = {k: jnp.float32(v) for k, v in dict(
+        beta=0.3, alpha=0.01, lr=1e-3, bnd=10.0, bnd_pro=18.0,
+        w_pro_f=0.0, w_pro_r=0.0).items()}
+    outs = []
+    for n in (1, 4):  # 4 divides the remain stream (4) but not forget (6)
+        state = ForgetState.create(params, opt)
+        step = make_forget_step(CFG, lora, fcfg, opt,
+                                compute_dtype=jnp.float32,
+                                use_prototype=False, grad_accum=n)
+        outs.append(step(state, xf, yf, xr, yr, protos, sc,
+                         jax.random.key(0)))
+    assert float(outs[0][1]["loss_total"]) == float(outs[1][1]["loss_total"])
+    for a, b in zip(jax.tree.leaves(outs[0][0].lora),
+                    jax.tree.leaves(outs[1][0].lora)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

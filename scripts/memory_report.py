@@ -45,7 +45,7 @@ def build_pretrain_args(model, lora, bs: int, grad_accum: int = 1):
 
 
 def build_step_args(model, lora, fcfg, bs: int, train: bool = True,
-                    lora_apply: str = "merged"):
+                    lora_apply: str = "merged", grad_accum: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -70,7 +70,8 @@ def build_step_args(model, lora, fcfg, bs: int, train: bool = True,
     state = ForgetState.create(params, opt)
     step = make_forget_step(model, lora, fcfg, opt,
                             compute_dtype=jnp.bfloat16, use_prototype=True,
-                            lora_apply=lora_apply, fused_batch=True)
+                            lora_apply=lora_apply, fused_batch=True,
+                            grad_accum=grad_accum)
     xf = jnp.zeros((bs, 3, hw, hw), jnp.float32)
     yf = jnp.zeros((bs,), jnp.int32)
     scalars = {k: jnp.float32(v) for k, v in dict(
@@ -139,11 +140,18 @@ def main():
         m = dataclasses.replace(m, remat="remat" in parts)
         la = "factored" if "fact" in parts else "merged"
         # "gaN" token => full-model pretrain step with grad_accum N
-        # (e.g. b16_b256_ga8); "pretrain" alone => grad_accum 1
+        # (e.g. b16_b256_ga8); "pretrain" alone => grad_accum 1;
+        # "fgaN" => the dual-batch FORGET step with grad_accum N (the
+        # two-phase gate scheme, engine/forget._accum_grads)
         ga = next((int(p[2:]) for p in parts[1:]
                    if p.startswith("ga") and p[2:].isdigit()), None)
+        fga = next((int(p[3:]) for p in parts[1:]
+                    if p.startswith("fga") and p[3:].isdigit()), None)
         try:
-            if ga is not None or "pretrain" in parts:
+            if fga is not None:
+                fn, a = build_step_args(m, lora, fcfg, bs, train=True,
+                                        lora_apply=la, grad_accum=fga)
+            elif ga is not None or "pretrain" in parts:
                 fn, a = build_pretrain_args(m, lora, bs, grad_accum=ga or 1)
             else:
                 fn, a = build_step_args(m, lora, fcfg, bs, train=train,

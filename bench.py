@@ -60,7 +60,7 @@ PRETRAIN_GFLOP_PER_IMG = 23.9
 PRETRAIN_K = 10
 
 
-def _pretrain_ips():
+def _pretrain_ips(grad_accum: int = 1):
     """images/sec/chip of the jitted full-model pretrain step at b480.
 
     Mirrors scripts/bench_pretrain.py exactly (same shapes/K -> same HLO,
@@ -86,7 +86,7 @@ def _pretrain_ips():
     opt = make_optimizer(OptimConfig(opt="adamw", lr=3e-4))
     state = PretrainState.create(params, opt)
     step = make_pretrain_step(model, lora, opt, compute_dtype=jnp.bfloat16,
-                              grad_accum=1)
+                              grad_accum=grad_accum)
 
     @jax.jit
     def multi(state, keys):
@@ -107,22 +107,18 @@ def _pretrain_ips():
     return PRETRAIN_K * bs / best / jax.device_count()
 
 
-def main():
+def _forget_chain(model, lora, fcfg):
+    """Build the (state, multi_step, keys) timing chain for one model
+    config — K_STEPS forget steps chained in-device via lax.scan."""
     import jax
-    from gslora_tpu.cli.common import setup_jax_runtime
-    setup_jax_runtime()  # persistent compile cache
-    # hardware RNG for dropout masks: threefry mask generation costs ~17ms
-    # of a ~48ms step on v5e; rbg is the TPU-native generator
-    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
 
     from gslora_tpu.config import OptimConfig
     from gslora_tpu.engine.forget import make_forget_step
     from gslora_tpu.engine.state import ForgetState, make_optimizer
-    from gslora_tpu.models.vit import init_vit_params
-    from __graft_entry__ import _flagship_configs
 
-    model, lora, fcfg = _flagship_configs()
+    from gslora_tpu.models.vit import init_vit_params
+
     params = init_vit_params(jax.random.key(0), model, lora,
                              param_dtype=jnp.bfloat16)
     opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-2))
@@ -150,19 +146,38 @@ def main():
         return jax.lax.scan(body, state, keys)
 
     keys = jax.random.split(jax.random.key(7), K_STEPS)
-    # warmup / compile
-    s2, losses = multi_step(state, keys)
-    float(losses[-1])
+    return state, multi_step, keys
 
+
+def _time_chain(multi_step, state, keys, bs_total: int, repeats: int = 3):
+    """Best-of-N wall time of the compiled chain -> images/sec/chip.
+    The host readback (float) is the only real sync on the tunnel."""
+    import jax
+    s2, losses = multi_step(state, keys)  # warmup / compile
+    float(losses[-1])
     best = float("inf")
-    for _ in range(3):
+    for _ in range(repeats):
         t0 = time.perf_counter()
         s2, losses = multi_step(state, keys)
         float(losses[-1])  # full-chain sync via host readback
         best = min(best, time.perf_counter() - t0)
+    return K_STEPS * bs_total / best / jax.device_count()
 
-    images_per_sec = K_STEPS * 2 * bs / best
-    ips_per_chip = images_per_sec / jax.device_count()
+
+def main():
+    import jax
+    from gslora_tpu.cli.common import setup_jax_runtime
+    setup_jax_runtime()  # persistent compile cache
+    # hardware RNG for dropout masks: threefry mask generation costs ~17ms
+    # of a ~48ms step on v5e; rbg is the TPU-native generator
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    from __graft_entry__ import _flagship_configs
+
+    model, lora, fcfg = _flagship_configs()
+    state, multi_step, keys = _forget_chain(model, lora, fcfg)
+    bs = BATCH_PER_STREAM
+    ips_per_chip = _time_chain(multi_step, state, keys, 2 * bs)
     tflops = ips_per_chip * STEP_GFLOP_PER_IMG / 1e3
     # compiled-program HBM budget (XLA memory analysis; the dispatch-path
     # executable is already in the persistent compile cache, so this
@@ -177,14 +192,34 @@ def main():
                 2)
     except Exception:
         pass
+    # opt-in --fast_math preset rate (bf16 LN + tanh GELU — the framework's
+    # measured speed ceiling; parity-diverging, so NOT the headline).
+    # Best-effort: omitted on any failure.
+    fast_ips = None
+    try:
+        import dataclasses as _dc
+        fast_model = _dc.replace(model, ln_dtype="bf16", gelu_impl="tanh")
+        fstate, fstep, fkeys = _forget_chain(fast_model, lora, fcfg)
+        fast_ips = round(_time_chain(fstep, fstate, fkeys, 2 * bs), 1)
+        del fstate, fstep, fkeys
+    except Exception:
+        pass
     # pretrain rate (best-effort; frees the forget-bench buffers first so
     # the 15.5 GB b480 step has the chip to itself)
     pretrain_ips = None
     try:
-        del s2, losses, state, multi_step, step, params
+        del state, multi_step, keys
         import gc
         gc.collect()
         pretrain_ips = round(_pretrain_ips(), 1)
+    except Exception:
+        pass
+    # the grad-accum BEST config at the same b480 (ga16 is a +37%
+    # throughput win over ga1 — the recipe batch sits at the HBM ceiling,
+    # BASELINE.md "Pretrain throughput"); framework capability number
+    pretrain_ips_ga16 = None
+    try:
+        pretrain_ips_ga16 = round(_pretrain_ips(grad_accum=16), 1)
     except Exception:
         pass
     print(json.dumps({
@@ -211,6 +246,10 @@ def main():
                         "5x the TF32-generous denominator (=10000 img/s, "
                         "213 TF/s) exceeds the 161 TF/s chip roof"),
         **({"peak_hbm_gb": peak_hbm} if peak_hbm is not None else {}),
+        # measured rate of the opt-in --fast_math preset (bf16 LN + tanh
+        # GELU): the framework's speed ceiling when torch-parity numerics
+        # are not required — the headline stays at parity defaults
+        **({"fast_math_ips": fast_ips} if fast_ips is not None else {}),
         # full-model supervised pretrain step at the reference recipe's
         # b480 (run_sub.sh) — the VERDICT r3 #6 rate; methodology and
         # grad-accum variants in scripts/bench_pretrain.py + BASELINE.md
@@ -218,6 +257,8 @@ def main():
             "pretrain_tflops": round(
                 pretrain_ips * PRETRAIN_GFLOP_PER_IMG / 1e3, 1)}
            if pretrain_ips is not None else {}),
+        **({"pretrain_ips_b480_ga16": pretrain_ips_ga16}
+           if pretrain_ips_ga16 is not None else {}),
     }))
 
 

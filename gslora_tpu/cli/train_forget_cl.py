@@ -298,12 +298,22 @@ def main(argv=None):
             "task": t.task, "forget_acc_before": t.result.forget_acc_before,
             "forget_acc": t.result.forget_acc,
             "remain_acc": t.result.remain_acc, "old_acc": t.old_acc,
+            "old_acc_before": t.old_acc_before,
             "open_acc": t.result.open_acc,
             "best_H_mean": t.result.best_h, "norm_list": t.result.norm_list,
             "time_to_forget_s": round(t.result.wallclock_s, 2),
         } for t in out.tasks]
         final_params = out.final_params or params
     else:
+        if cfg.optim.grad_accum > 1:
+            # the two-phase accumulation scheme is specific to the GS-LoRA
+            # dual-batch step (engine/forget._accum_grads); the baseline
+            # steps run their full batch unaccumulated
+            import warnings
+            warnings.warn(
+                f"--grad_accum {cfg.optim.grad_accum} is ignored by "
+                f"baseline method {cfg.baseline.method!r}; only the "
+                "GS-LoRA (--one_stage) and pretrain steps accumulate")
         report, final_params = run_baseline_continual(
             cfg, params, train_ds, test_ds, order, logger, cfg.outdir,
             mesh=mesh)

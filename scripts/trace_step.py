@@ -1,10 +1,15 @@
 """Per-op device trace of the flagship forget step (VERDICT r3 #4).
 
-jax.profiler through the axon tunnel DOES return a TensorCore overlay
-track (fusion-level op names + durations) in the perfetto trace.json.gz —
-no TensorBoard needed; this script parses it directly and prints the
-top device ops aggregated by fusion name, plus bucket subtotals
-(GEMM / attention-core / elementwise / other).
+STATUS: documented DEAD END on this environment (kept for real TPU
+hosts). Through the axon tunnel the device executes on a remote relay
+and jax.profiler's trace.json.gz comes back with HOST tracks only — no
+device xplane / TensorCore track — so there is nothing device-side to
+aggregate (DEVNOTES round-4 session 3). On a directly-attached TPU this
+script parses the perfetto trace without TensorBoard and prints the top
+device ops by fusion name plus bucket subtotals (GEMM / attention-core /
+elementwise / other). The per-op breakdown evidence for THIS environment
+is ablation differencing: BASELINE.md "Post-unroll per-component
+breakdown" (scripts/perf_attention_lab.py).
 
 Run: python scripts/trace_step.py [--variant xla_b24_u6] [--steps 3]
 """

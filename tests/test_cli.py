@@ -74,6 +74,8 @@ def test_train_forget_cl_cli_gs_lora(tmp_path):
     ]))
     assert len(report) == 2
     assert report[1]["old_acc"] is not None
+    # post-fold pre-training instrumentation (VERDICT r3 #3)
+    assert report[1]["old_acc_before"] is not None
 
 
 @pytest.mark.parametrize("flag", ["--l2", "--ewc", "--MAS", "--retrain",
@@ -87,6 +89,23 @@ def test_train_forget_cl_cli_baselines(tmp_path, flag):
     ]))
     assert len(report) == 1
     assert "best_h" in report[0]
+
+
+def test_baseline_grad_accum_warns(tmp_path):
+    """Baseline methods run their batch unaccumulated — passing
+    --grad_accum to one must warn instead of silently ignoring it
+    (ADVICE r3; the GS-LoRA/--one_stage path DOES accumulate)."""
+    import warnings
+
+    from gslora_tpu.cli import train_forget_cl
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        train_forget_cl.main(_common_args(tmp_path, [
+            "--l2", "-e", "1", "--lr", "1e-3", "--grad_accum", "2",
+            "--num_tasks", "1", "--num_of_first_cls", "6",
+            "--per_forget_cls", "2", "--data_ratio", "1.0",
+        ]))
+    assert any("grad_accum" in str(x.message) for x in w)
 
 
 def test_pretrain_and_test_cli(tmp_path):

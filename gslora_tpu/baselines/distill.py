@@ -67,8 +67,21 @@ def fdr_loss(logits_s, logits_t, labels=None) -> jax.Array:
 def make_distill_step(method: str, model: ViTConfig, lora: LoraConfig,
                       optimizer, hp: Dict[str, float],
                       compute_dtype=jnp.bfloat16,
-                      faithful_zero_kd: bool = False):
-    """step(state, teacher_params, xf, yf, xr, yr, xr2, yr2, lr, rng)."""
+                      faithful_zero_kd: bool = False,
+                      grad_accum: int = 1):
+    """step(state, teacher_params, xf, yf, xr, yr, xr2, yr2, lr, rng).
+
+    ``grad_accum > 1`` microbatches all streams inside the jitted step.
+    Unlike the pretrain step these losses mix MEANS over two (three for
+    DER++) different streams with DER's raw SUM, so the generic
+    valid-count reweighting does not apply; instead the step computes the
+    GLOBAL valid count per stream from the labels up front (no forward
+    needed) and differentiates a per-micro surrogate of masked SUMS
+    divided by those global counts — every term is linear in per-sample
+    statistics (no batch-global nonlinearity like the GS-LoRA gates), so
+    the micro-gradient sum equals the full-batch gradient identically;
+    gradients accumulate in fp32. Streams whose size ``grad_accum`` does
+    not divide fall back to one unaccumulated call (trace-time branch)."""
     method = method.lower()
 
     def loss_fn(params, teacher, xf, yf, xr, yr, xr2, yr2, rng):
@@ -108,11 +121,111 @@ def make_distill_step(method: str, model: ViTConfig, lora: LoraConfig,
         metrics["loss_total"] = total
         return total, metrics
 
+    def _micro_sums(params, teacher, xf, yf, xr, yr, xr2, yr2, rng):
+        """Masked per-sample SUMS of every data-dependent term over one
+        microbatch (masked means have a max(valid,1) denominator, so
+        mean * valid recovers the masked sum exactly; DER is already a
+        sum). Same forward structure/rng splits as loss_fn."""
+        r1, r2, r3 = jax.random.split(rng, 3)
+        vf = jnp.sum((yf >= 0).astype(jnp.float32))
+        vr = jnp.sum((yr >= 0).astype(jnp.float32))
+        logits_f, _ = vit_apply(params, xf, yf, model, lora, train=True,
+                                rng=r1, compute_dtype=compute_dtype)
+        logits_r, emb_r = vit_apply(params, xr, yr, model, lora, train=True,
+                                    rng=r2, compute_dtype=compute_dtype)
+        t_logits_r, t_emb_r = jax.lax.stop_gradient(
+            vit_apply(teacher, xr, yr, model, lora, train=False,
+                      compute_dtype=compute_dtype))
+        s = {"ce_f": cross_entropy(logits_f, yf) * vf}
+        if method == "lwf":
+            kd = jnp.float32(0.0) if faithful_zero_kd else \
+                lwf_kd_loss(logits_r, t_logits_r, hp["T"], labels=yr)
+            s["kd"] = kd * vr
+            s["ce_r"] = cross_entropy(logits_r, yr) * vr
+        elif method in ("der", "der_plus"):
+            s["der"] = der_loss(emb_r, t_emb_r, labels=yr)  # already a SUM
+            if method == "der_plus":
+                logits_r2, _ = vit_apply(params, xr2, yr2, model, lora,
+                                         train=True, rng=r3,
+                                         compute_dtype=compute_dtype)
+                vr2 = jnp.sum((yr2 >= 0).astype(jnp.float32))
+                s["ce_r2"] = cross_entropy(logits_r2, yr2) * vr2
+        elif method == "fdr":
+            s["fdr"] = fdr_loss(logits_r, t_logits_r, labels=yr) * vr
+        return s
+
+    def _accum_grads(params, teacher, xf, yf, xr, yr, xr2, yr2, rng):
+        """Accumulated gradient == full-batch gradient (see docstring)."""
+        n = grad_accum
+        nf = jnp.maximum(jnp.sum((yf >= 0).astype(jnp.float32)), 1.0)
+        nr = jnp.maximum(jnp.sum((yr >= 0).astype(jnp.float32)), 1.0)
+        nr2 = jnp.maximum(jnp.sum((yr2 >= 0).astype(jnp.float32)), 1.0)
+        keys = jax.random.split(rng, n)
+        xs = tuple(t.reshape(n, t.shape[0] // n, *t.shape[1:])
+                   for t in (xf, yf, xr, yr, xr2, yr2)) + (keys,)
+
+        def surrogate(p, micro):
+            s = _micro_sums(p, teacher, *micro[:6], micro[6])
+            val = s["ce_f"] / nf
+            if method == "lwf":
+                val = val + hp["lambda_kd"] * s["kd"] / nr \
+                    + hp["lambda_remain"] * s["ce_r"] / nr
+            elif method in ("der", "der_plus"):
+                val = val + hp["lambda_der"] * s["der"]
+                if method == "der_plus":
+                    val = val + hp["lambda_der_plus"] * s["ce_r2"] / nr2
+            elif method == "fdr":
+                val = val + hp["lambda_fdr"] * s["fdr"] / nr
+            return val, s
+
+        def body(carry, micro):
+            gsum, ssum = carry
+            g, s = jax.grad(surrogate, has_aux=True)(params, micro)
+            gsum = jax.tree.map(lambda c, gi: c + gi.astype(c.dtype),
+                                gsum, g)
+            ssum = jax.tree.map(jnp.add, ssum, s)
+            return (gsum, ssum), None
+
+        gzeros = jax.tree.map(lambda t: jnp.zeros(t.shape, jnp.float32),
+                              params)
+        szeros = jax.tree.map(
+            lambda sh: jnp.zeros(sh.shape, sh.dtype),
+            jax.eval_shape(lambda m: _micro_sums(params, teacher, *m[:6],
+                                                 m[6]),
+                           jax.tree.map(lambda t: t[0], xs)))
+        (gsum, ssum), _ = jax.lax.scan(body, (gzeros, szeros), xs)
+        grads = jax.tree.map(lambda g, t: g.astype(t.dtype), gsum, params)
+        metrics = {"loss_CE": ssum["ce_f"] / nf}
+        total = metrics["loss_CE"]
+        if method == "lwf":
+            metrics["loss_KD"] = ssum["kd"] / nr
+            metrics["loss_remain"] = ssum["ce_r"] / nr
+            total = total + hp["lambda_kd"] * metrics["loss_KD"] \
+                + hp["lambda_remain"] * metrics["loss_remain"]
+        elif method in ("der", "der_plus"):
+            metrics["loss_DER"] = ssum["der"]
+            total = total + hp["lambda_der"] * metrics["loss_DER"]
+            if method == "der_plus":
+                metrics["loss_CE_next"] = ssum["ce_r2"] / nr2
+                total = total + hp["lambda_der_plus"] * \
+                    metrics["loss_CE_next"]
+        elif method == "fdr":
+            metrics["loss_FDR"] = ssum["fdr"] / nr
+            total = total + hp["lambda_fdr"] * metrics["loss_FDR"]
+        metrics["loss_total"] = total
+        return grads, metrics
+
     @jax.jit
     def step(state: PretrainState, teacher, xf, yf, xr, yr, xr2, yr2, lr,
              rng):
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            state.params, teacher, xf, yf, xr, yr, xr2, yr2, rng)
+        if grad_accum > 1 and not any(
+                t.shape[0] % grad_accum for t in (xf, xr, xr2)):
+            grads, metrics = _accum_grads(
+                state.params, teacher, xf, yf, xr, yr, xr2, yr2, rng)
+        else:
+            # grad_accum == 1, or a stream the micro split cannot slice
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                state.params, teacher, xf, yf, xr, yr, xr2, yr2, rng)
         opt_state = _with_lr(state.opt_state, lr)
         updates, opt_state = optimizer.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -139,7 +252,8 @@ def _cached_distill_step(method: str, model, lora, optim_cfg, hp_items,
     from gslora_tpu.engine.state import make_optimizer
     opt = make_optimizer(optim_cfg)
     step = make_distill_step(method, model, lora, opt, dict(hp_items),
-                             compute_dtype=cdt, faithful_zero_kd=faithful)
+                             compute_dtype=cdt, faithful_zero_kd=faithful,
+                             grad_accum=optim_cfg.grad_accum)
     return opt, step
 
 

@@ -35,9 +35,16 @@ from gslora_tpu.models.vit import vit_apply
 
 
 def make_reg_step(model: ViTConfig, lora: LoraConfig, optimizer, n_terms: int,
-                  compute_dtype=jnp.bfloat16):
+                  compute_dtype=jnp.bfloat16, grad_accum: int = 1):
     """step(state, x, y, anchors, importances, lam, lr, rng).
-    anchors/importances are tuples of length n_terms (static)."""
+    anchors/importances are tuples of length n_terms (static).
+
+    ``grad_accum > 1`` microbatches the batch inside the jitted step via
+    engine.pretrain._accumulated — EXACT here because the loss is a
+    masked-mean CE plus a data-independent quadratic penalty (the
+    valid-count weighting recovers the global masked mean, and a
+    data-independent term contributes sum_i v*n_i/N = v unchanged);
+    indivisible batches fall back to one unaccumulated call."""
 
     def loss_fn(params, x, y, anchors, importances, lam, rng):
         logits, _ = vit_apply(params, x, y, model, lora, train=True, rng=rng,
@@ -51,8 +58,14 @@ def make_reg_step(model: ViTConfig, lora: LoraConfig, optimizer, n_terms: int,
 
     @jax.jit
     def step(state: PretrainState, x, y, anchors, importances, lam, lr, rng):
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            state.params, x, y, anchors, importances, lam, rng)
+        def gfn(xx, yy, rr):
+            return jax.grad(loss_fn, has_aux=True)(
+                state.params, xx, yy, anchors, importances, lam, rr)
+        if grad_accum > 1:
+            from gslora_tpu.engine.pretrain import _accumulated
+            grads, metrics = _accumulated(gfn, grad_accum)(x, y, rng)
+        else:
+            grads, metrics = gfn(x, y, rng)
         opt_state = _with_lr(state.opt_state, lr)
         updates, opt_state = optimizer.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -71,7 +84,8 @@ def _cached_reg_step(model, lora, optim_cfg, n_terms: int, cdt):
     recompile by necessity.)"""
     from gslora_tpu.engine.state import make_optimizer
     opt = make_optimizer(optim_cfg)
-    return opt, make_reg_step(model, lora, opt, n_terms, compute_dtype=cdt)
+    return opt, make_reg_step(model, lora, opt, n_terms, compute_dtype=cdt,
+                              grad_accum=optim_cfg.grad_accum)
 
 
 def estimate_importance(method: str, params, batches, model: ViTConfig,

@@ -59,8 +59,15 @@ def swa_update(swa_params, student_params, n_averaged: int,
 
 def make_scrub_steps(model: ViTConfig, lora: LoraConfig, optimizer,
                      kd_T: float, smoothing: float, gamma: float,
-                     alpha: float, compute_dtype=jnp.bfloat16):
-    """Returns (max_step, min_step), both jitted."""
+                     alpha: float, compute_dtype=jnp.bfloat16,
+                     grad_accum: int = 1):
+    """Returns (max_step, min_step), both jitted.
+
+    ``grad_accum > 1`` microbatches both sgda passes inside the jitted
+    step via engine.pretrain._accumulated — EXACT here: every
+    data-dependent term (KD, CE) is a masked row mean, and the swa
+    distance penalty is data-independent (contributes unchanged under
+    valid-count weighting); indivisible batches fall back."""
 
     def max_loss(params, teacher, swa, x, y, rng):
         logits, _ = vit_apply(params, x, y, model, lora, train=True, rng=rng,
@@ -88,8 +95,14 @@ def make_scrub_steps(model: ViTConfig, lora: LoraConfig, optimizer,
     def make(loss_fn):
         @jax.jit
         def step(state: PretrainState, teacher, swa, x, y, lr, rng):
-            grads, metrics = jax.grad(loss_fn, has_aux=True)(
-                state.params, teacher, swa, x, y, rng)
+            def gfn(xx, yy, rr):
+                return jax.grad(loss_fn, has_aux=True)(
+                    state.params, teacher, swa, xx, yy, rr)
+            if grad_accum > 1:
+                from gslora_tpu.engine.pretrain import _accumulated
+                grads, metrics = _accumulated(gfn, grad_accum)(x, y, rng)
+            else:
+                grads, metrics = gfn(x, y, rng)
             opt_state = _with_lr(state.opt_state, lr)
             updates, opt_state = optimizer.update(grads, opt_state,
                                                   state.params)
@@ -112,7 +125,8 @@ def _cached_scrub_steps(model, lora, optim_cfg, kd_T, smoothing, gamma,
     from gslora_tpu.engine.state import make_optimizer
     opt = make_optimizer(optim_cfg)
     mx, mn = make_scrub_steps(model, lora, opt, kd_T, smoothing, gamma,
-                              alpha, compute_dtype=cdt)
+                              alpha, compute_dtype=cdt,
+                              grad_accum=optim_cfg.grad_accum)
     return opt, mx, mn
 
 

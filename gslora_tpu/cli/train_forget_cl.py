@@ -305,15 +305,14 @@ def main(argv=None):
         } for t in out.tasks]
         final_params = out.final_params or params
     else:
-        if cfg.optim.grad_accum > 1:
-            # the two-phase accumulation scheme is specific to the GS-LoRA
-            # dual-batch step (engine/forget._accum_grads); the baseline
-            # steps run their full batch unaccumulated
+        if cfg.optim.grad_accum > 1 and cfg.baseline.method == "lirf":
+            # every other baseline family accumulates exactly (reg/scrub
+            # via engine.pretrain._accumulated, distill via its linear
+            # surrogate); LIRF's 4-model step is the one exception
             import warnings
             warnings.warn(
-                f"--grad_accum {cfg.optim.grad_accum} is ignored by "
-                f"baseline method {cfg.baseline.method!r}; only the "
-                "GS-LoRA (--one_stage) and pretrain steps accumulate")
+                f"--grad_accum {cfg.optim.grad_accum} is ignored by the "
+                "LIRF baseline; its 4-model step runs unaccumulated")
         report, final_params = run_baseline_continual(
             cfg, params, train_ds, test_ds, order, logger, cfg.outdir,
             mesh=mesh)

@@ -300,3 +300,142 @@ def test_der_fdr_loss_shapes():
     want = float(np.mean(np.linalg.norm(np.asarray(a) - np.asarray(b),
                                         axis=1)))
     assert abs(float(fdr_loss(a, b)) - want) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# grad accumulation on the baseline steps (round 4): every family except
+# LIRF accumulates EXACTLY — reg/SCRUB reuse engine.pretrain._accumulated
+# (masked-mean + data-independent terms), distill uses a per-stream linear
+# surrogate (DER's term is a SUM, the means normalize over different
+# streams, so the single-stream valid-count reweighting does not apply).
+
+def _ga_params(seed=0):
+    return init_vit_params(jax.random.key(seed), MODEL, LORA)
+
+
+def _ga_batch(seed, pad=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(8, 3, 16, 16).astype(np.float32))
+    y = np.asarray(rng.randint(0, 6, size=8), dtype=np.int32)
+    if pad:
+        y[-pad:] = -1  # mask_padding sentinel, unevenly split over micros
+    return x, jnp.asarray(y)
+
+
+def _assert_trees_close(a, b, rtol=2e-5, atol=1e-7):
+    for p, q in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                   rtol=rtol, atol=atol)
+
+
+@pytest.mark.parametrize("pad", [0, 3])
+def test_reg_step_grad_accum_matches(pad):
+    from gslora_tpu.baselines.regularization import make_reg_step
+    from gslora_tpu.engine.pretrain import PretrainState
+    from gslora_tpu.engine.state import make_optimizer
+    params = _ga_params()
+    anchors = (jax.tree.map(lambda t: t + 0.01, params),)
+    imps = (jax.tree.map(jnp.ones_like, params),)
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-3))
+    x, y = _ga_batch(1, pad=pad)
+    outs = []
+    for n in (1, 2, 4):
+        step = make_reg_step(MODEL, LORA, opt, n_terms=1,
+                             compute_dtype=jnp.float32, grad_accum=n)
+        st, m = step(PretrainState.create(params, opt), x, y, anchors,
+                     imps, jnp.float32(0.1), jnp.float32(1e-3),
+                     jax.random.key(0))
+        outs.append((st, m))
+    for st, m in outs[1:]:
+        assert abs(float(m["loss_total"]) -
+                   float(outs[0][1]["loss_total"])) < 1e-5
+        _assert_trees_close(outs[0][0].params, st.params)
+
+
+@pytest.mark.parametrize("pad", [0, 3])
+def test_scrub_steps_grad_accum_match(pad):
+    from gslora_tpu.baselines.scrub import make_scrub_steps
+    from gslora_tpu.engine.pretrain import PretrainState
+    from gslora_tpu.engine.state import make_optimizer
+    params = _ga_params()
+    teacher = jax.tree.map(lambda t: t + 0.02, params)
+    swa = jax.tree.map(lambda t: t + 0.01, params)
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-3))
+    x, y = _ga_batch(2, pad=pad)
+    for which in (0, 1):  # max step, min step
+        ref = None
+        for n in (1, 2):
+            step = make_scrub_steps(MODEL, LORA, opt, kd_T=4.0,
+                                    smoothing=0.01, gamma=0.99, alpha=0.5,
+                                    compute_dtype=jnp.float32,
+                                    grad_accum=n)[which]
+            st, m = step(PretrainState.create(params, opt), teacher, swa,
+                         x, y, jnp.float32(1e-3), jax.random.key(0))
+            if ref is None:
+                ref = (st, m)
+            else:
+                for k in ref[1]:
+                    assert abs(float(m[k]) - float(ref[1][k])) < \
+                        1e-5 * max(1.0, abs(float(ref[1][k]))), (which, k)
+                # SCRUB's -KD ascent gradient is tiny at init (student
+                # near teacher), so AdamW's eps nonlinearity amplifies
+                # micro-sum reassociation noise more than the other
+                # families — same convention as test_variants'
+                # _assert_forget_states_match
+                _assert_trees_close(ref[0].params, st.params,
+                                    rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["lwf", "der", "der_plus", "fdr"])
+def test_distill_step_grad_accum_matches(method):
+    """The linear-surrogate scheme: DER's SUM term, per-stream global
+    counts (incl. a padded remain stream whose sentinels split unevenly
+    over micro slices), DER++'s third stream."""
+    from gslora_tpu.baselines.distill import make_distill_step
+    from gslora_tpu.engine.pretrain import PretrainState
+    from gslora_tpu.engine.state import make_optimizer
+    params = _ga_params()
+    teacher = jax.tree.map(lambda t: t + 0.02, params)
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-3))
+    xf, yf = _ga_batch(3)
+    xr, yr = _ga_batch(4, pad=3)
+    xr2, yr2 = _ga_batch(5, pad=1)
+    hp = {"T": 2.0, "lambda_kd": 0.5, "lambda_remain": 1.0,
+          "lambda_der": 0.1, "lambda_der_plus": 0.2, "lambda_fdr": 0.1}
+    ref = None
+    for n in (1, 2, 4):
+        step = make_distill_step(method, MODEL, LORA, opt, hp,
+                                 compute_dtype=jnp.float32, grad_accum=n)
+        st, m = step(PretrainState.create(params, opt), teacher, xf, yf,
+                     xr, yr, xr2, yr2, jnp.float32(1e-3), jax.random.key(0))
+        if ref is None:
+            ref = (st, m)
+        else:
+            assert set(m) == set(ref[1]), method
+            for k in ref[1]:
+                assert abs(float(m[k]) - float(ref[1][k])) < \
+                    1e-4 * max(1.0, abs(float(ref[1][k]))), (method, k)
+            _assert_trees_close(ref[0].params, st.params)
+
+
+def test_distill_step_grad_accum_indivisible_falls_back():
+    from gslora_tpu.baselines.distill import make_distill_step
+    from gslora_tpu.engine.pretrain import PretrainState
+    from gslora_tpu.engine.state import make_optimizer
+    params = _ga_params()
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-3))
+    xf, yf = _ga_batch(3)
+    xf, yf = xf[:6], yf[:6]  # 6 % 4 != 0 -> unaccumulated path
+    xr, yr = _ga_batch(4)
+    hp = {"lambda_der": 0.1}
+    outs = []
+    for n in (1, 4):
+        step = make_distill_step("der", MODEL, LORA, opt, hp,
+                                 compute_dtype=jnp.float32, grad_accum=n)
+        outs.append(step(PretrainState.create(params, opt), params, xf, yf,
+                         xr, yr, xr, yr, jnp.float32(1e-3),
+                         jax.random.key(0)))
+    assert float(outs[0][1]["loss_total"]) == float(outs[1][1]["loss_total"])
+    for a, b in zip(jax.tree.leaves(outs[0][0].params),
+                    jax.tree.leaves(outs[1][0].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -91,13 +91,21 @@ def test_train_forget_cl_cli_baselines(tmp_path, flag):
     assert "best_h" in report[0]
 
 
-def test_baseline_grad_accum_warns(tmp_path):
-    """Baseline methods run their batch unaccumulated — passing
-    --grad_accum to one must warn instead of silently ignoring it
-    (ADVICE r3; the GS-LoRA/--one_stage path DOES accumulate)."""
+def test_baseline_grad_accum_lirf_warns_l2_runs(tmp_path):
+    """LIRF is the one baseline whose step ignores --grad_accum — it must
+    warn (ADVICE r3); the reg family accumulates (exactly) and must run
+    WITHOUT a warning."""
     import warnings
 
     from gslora_tpu.cli import train_forget_cl
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        train_forget_cl.main(_common_args(tmp_path, [
+            "--LIRF", "-e", "1", "--lr", "1e-3", "--grad_accum", "2",
+            "--num_tasks", "1", "--num_of_first_cls", "6",
+            "--per_forget_cls", "2", "--data_ratio", "1.0",
+        ]))
+    assert any("grad_accum" in str(x.message) for x in w)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         train_forget_cl.main(_common_args(tmp_path, [
@@ -105,7 +113,7 @@ def test_baseline_grad_accum_warns(tmp_path):
             "--num_tasks", "1", "--num_of_first_cls", "6",
             "--per_forget_cls", "2", "--data_ratio", "1.0",
         ]))
-    assert any("grad_accum" in str(x.message) for x in w)
+    assert not any("grad_accum" in str(x.message) for x in w)
 
 
 def test_pretrain_and_test_cli(tmp_path):

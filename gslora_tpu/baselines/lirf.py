@@ -88,7 +88,15 @@ def _up_logits(teacher_tree, tokens, labels, model, lora, cdt):
 
 def make_lirf_step(model: ViTConfig, lora: LoraConfig, optimizer,
                    split: int, T: float, alpha: float,
-                   compute_dtype=jnp.bfloat16):
+                   compute_dtype=jnp.bfloat16, grad_accum: int = 1):
+    """``grad_accum > 1`` microbatches both streams inside the jitted
+    step. Every LIRF term is a masked row MEAN over one of the two
+    streams (CE/AT/kdKP/pt_re over forget, replay-CE over remain) with no
+    batch-global nonlinearity, so the linear-surrogate scheme of
+    baselines/distill applies: global valid counts come from the labels
+    up front, each micro differentiates masked SUMS divided by those
+    counts, and the micro-gradient sum equals the full-batch gradient
+    identically (fp32 accumulation; indivisible streams fall back)."""
     cdt = compute_dtype
 
     def loss_fn(student_low, deposit_low, teacher, xf, yf, xr, yr, rng):
@@ -124,13 +132,93 @@ def make_lirf_step(model: ViTConfig, lora: LoraConfig, optimizer,
                        "loss_kdKP": kd_kp, "loss_pt_re": loss_pt_re,
                        "loss_remain": loss_replay, "loss_total": total}
 
+    def _micro_sums(student_low, deposit_low, teacher, xf, yf, xr, yr,
+                    rng):
+        """Masked per-sample SUMS of each term over one microbatch pair
+        (each loss is a masked mean with a max(valid,1) denominator, so
+        mean * valid == the masked sum exactly)."""
+        r1, r2, r3 = jax.random.split(rng, 3)
+        vf = jnp.sum((yf >= 0).astype(jnp.float32))
+        vr = jnp.sum((yr >= 0).astype(jnp.float32))
+        s_mid = _low_tokens(student_low, xf, model, lora, train=True,
+                            rng=r1, cdt=cdt)
+        s_final, _ = _up_logits(teacher, s_mid, yf, model, lora, cdt)
+        d_mid = _low_tokens(deposit_low, xf, model, lora, train=True,
+                            rng=r2, cdt=cdt)
+        d_final, _ = _up_logits(teacher, d_mid, yf, model, lora, cdt)
+        t_mid = jax.lax.stop_gradient(
+            _low_tokens(teacher, xf, model, lora, train=False, rng=None,
+                        cdt=cdt))
+        t_final, _ = _up_logits(teacher, t_mid, yf, model, lora, cdt)
+        t_final = jax.lax.stop_gradient(t_final)
+        sr_mid = _low_tokens(student_low, xr, model, lora, train=True,
+                             rng=r3, cdt=cdt)
+        sr_final, _ = _up_logits(teacher, sr_mid, yr, model, lora, cdt)
+        return {
+            "ce": cross_entropy(s_final, yf) * (1 - alpha) * vf,
+            "at": attention_transfer_loss(s_mid, t_mid, labels=yf) * vf,
+            "kd_kp": kd_kl_loss(s_final[:, split:], t_final[:, split:], T,
+                                labels=yf) * alpha * vf,
+            "pt_re": (kd_kl_loss(d_final[:, :split], t_final[:, :split], T,
+                                 labels=yf) * alpha +
+                      cross_entropy(d_final, yf) * (1 - alpha)) * vf,
+            "replay": cross_entropy(sr_final, yr) * vr,
+        }
+
+    def _accum_grads(student_low, deposit_low, teacher, xf, yf, xr, yr,
+                     rng):
+        n = grad_accum
+        nf = jnp.maximum(jnp.sum((yf >= 0).astype(jnp.float32)), 1.0)
+        nr = jnp.maximum(jnp.sum((yr >= 0).astype(jnp.float32)), 1.0)
+        keys = jax.random.split(rng, n)
+        xs = tuple(t.reshape(n, t.shape[0] // n, *t.shape[1:])
+                   for t in (xf, yf, xr, yr)) + (keys,)
+
+        def surrogate(sl, micro):
+            s = _micro_sums(sl, deposit_low, teacher, *micro[:4], micro[4])
+            val = (s["ce"] - 300.0 * s["at"] + 10.0 * s["kd_kp"] +
+                   0.05 * s["pt_re"]) / nf + 5.0 * s["replay"] / nr
+            return val, s
+
+        def body(carry, micro):
+            gsum, ssum = carry
+            g, s = jax.grad(surrogate, has_aux=True)(student_low, micro)
+            gsum = jax.tree.map(lambda c, gi: c + gi.astype(c.dtype),
+                                gsum, g)
+            return (gsum, jax.tree.map(jnp.add, ssum, s)), None
+
+        gzeros = jax.tree.map(lambda t: jnp.zeros(t.shape, jnp.float32),
+                              student_low)
+        szeros = jax.tree.map(
+            lambda sh: jnp.zeros(sh.shape, sh.dtype),
+            jax.eval_shape(lambda m: _micro_sums(student_low, deposit_low,
+                                                 teacher, *m[:4], m[4]),
+                           jax.tree.map(lambda t: t[0], xs)))
+        (gsum, ssum), _ = jax.lax.scan(body, (gzeros, szeros), xs)
+        grads = jax.tree.map(lambda g, t: g.astype(t.dtype), gsum,
+                             student_low)
+        m = {"loss_CE": ssum["ce"] / nf, "loss_AT": ssum["at"] / nf,
+             "loss_kdKP": ssum["kd_kp"] / nf,
+             "loss_pt_re": ssum["pt_re"] / nf,
+             "loss_remain": ssum["replay"] / nr}
+        m["loss_total"] = m["loss_CE"] - 300.0 * m["loss_AT"] + \
+            10.0 * m["loss_kdKP"] + 0.05 * m["loss_pt_re"] + \
+            5.0 * m["loss_remain"]
+        return grads, m
+
     @jax.jit
     def step(state: LIRFState, teacher, xf, yf, xr, yr, lr, rng):
         # gradient w.r.t. student_low ONLY: the reference optimizer covers
         # just student_model_low (cl.py:811); deposit stays pretrained
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            state.student_low, state.deposit_low, teacher, xf, yf, xr, yr,
-            rng)
+        if grad_accum > 1 and xf.shape[0] % grad_accum == 0 and \
+                xr.shape[0] % grad_accum == 0:
+            grads, metrics = _accum_grads(
+                state.student_low, state.deposit_low, teacher, xf, yf,
+                xr, yr, rng)
+        else:
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                state.student_low, state.deposit_low, teacher, xf, yf,
+                xr, yr, rng)
         opt_state = _with_lr(state.opt_state, lr)
         updates, opt_state = optimizer.update(grads, opt_state,
                                               state.student_low)
@@ -150,7 +238,8 @@ def _cached_lirf_step(model, lora, optim_cfg, split, T, alpha, cdt):
     from gslora_tpu.engine.state import make_optimizer
     opt = make_optimizer(optim_cfg)
     return opt, make_lirf_step(model, lora, opt, split=split, T=T,
-                               alpha=alpha, compute_dtype=cdt)
+                               alpha=alpha, compute_dtype=cdt,
+                               grad_accum=optim_cfg.grad_accum)
 
 
 @step_cache

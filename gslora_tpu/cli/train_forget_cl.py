@@ -305,14 +305,10 @@ def main(argv=None):
         } for t in out.tasks]
         final_params = out.final_params or params
     else:
-        if cfg.optim.grad_accum > 1 and cfg.baseline.method == "lirf":
-            # every other baseline family accumulates exactly (reg/scrub
-            # via engine.pretrain._accumulated, distill via its linear
-            # surrogate); LIRF's 4-model step is the one exception
-            import warnings
-            warnings.warn(
-                f"--grad_accum {cfg.optim.grad_accum} is ignored by the "
-                "LIRF baseline; its 4-model step runs unaccumulated")
+        # every baseline family accumulates exactly when --grad_accum > 1:
+        # reg/SCRUB via engine.pretrain._accumulated (masked means +
+        # data-independent penalties), distill and LIRF via per-stream
+        # linear surrogates (their _accum_grads)
         report, final_params = run_baseline_continual(
             cfg, params, train_ds, test_ds, order, logger, cfg.outdir,
             mesh=mesh)

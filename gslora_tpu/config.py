@@ -522,9 +522,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gradient accumulation: split each batch into N "
                         "microbatches inside the jitted step (one optimizer "
                         "update per batch; activation memory / N). Exact "
-                        "for the pretrain step AND the dual-batch forget/CL "
+                        "everywhere: pretrain, the dual-batch forget/CL "
                         "step (two-phase gate scheme for the bounded/hinged "
-                        "losses — engine/forget.py)")
+                        "losses — engine/forget.py), and every baseline "
+                        "family (reg/SCRUB/distill/LIRF)")
     # TPU execution modes (gslora_tpu additions; defaults reference-faithful)
     p.add_argument("--lora_apply", default="factored", type=str,
                    choices=["factored", "merged"])

@@ -303,11 +303,13 @@ def test_der_fdr_loss_shapes():
 
 
 # ---------------------------------------------------------------------------
-# grad accumulation on the baseline steps (round 4): every family except
-# LIRF accumulates EXACTLY — reg/SCRUB reuse engine.pretrain._accumulated
-# (masked-mean + data-independent terms), distill uses a per-stream linear
-# surrogate (DER's term is a SUM, the means normalize over different
-# streams, so the single-stream valid-count reweighting does not apply).
+# grad accumulation on the baseline steps (round 4): EVERY family
+# accumulates EXACTLY — reg/SCRUB reuse engine.pretrain._accumulated
+# (masked-mean + data-independent terms), distill and LIRF use per-stream
+# linear surrogates (DER's term is a SUM, the means normalize over
+# different streams, so single-stream valid-count reweighting does not
+# apply; LIRF's five terms are per-stream masked means, grads through
+# student_low only).
 
 def _ga_params(seed=0):
     return init_vit_params(jax.random.key(seed), MODEL, LORA)
@@ -439,3 +441,38 @@ def test_distill_step_grad_accum_indivisible_falls_back():
     for a, b in zip(jax.tree.leaves(outs[0][0].params),
                     jax.tree.leaves(outs[1][0].params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("pad", [0, 3])
+def test_lirf_step_grad_accum_matches(pad):
+    """LIRF's per-stream linear surrogate (all five terms are masked
+    means over the forget or remain stream; grads flow through
+    student_low only)."""
+    from gslora_tpu.baselines.lirf import (LIRFState, low_slice,
+                                           make_lirf_step)
+    from gslora_tpu.engine.state import make_optimizer
+    base = _ga_params()["base"]
+    teacher = base
+    half = MODEL.depth // 2
+    student_low = low_slice(jax.tree.map(lambda t: t + 0.01, base), half)
+    deposit_low = low_slice(base, half)
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-3))
+    xf, yf = _ga_batch(6, pad=pad)
+    xr, yr = _ga_batch(7, pad=pad and 1)
+    ref = None
+    for n in (1, 2, 4):
+        step = make_lirf_step(MODEL, LORA, opt, split=2, T=4.0, alpha=0.1,
+                              compute_dtype=jnp.float32, grad_accum=n)
+        st = LIRFState(student_low=student_low, deposit_low=deposit_low,
+                       opt_state=opt.init(student_low), step=jnp.int32(0))
+        st, m = step(st, teacher, xf, yf, xr, yr, jnp.float32(1e-3),
+                     jax.random.key(0))
+        if ref is None:
+            ref = (st, m)
+        else:
+            assert set(m) == set(ref[1])
+            for k in ref[1]:
+                assert abs(float(m[k]) - float(ref[1][k])) < \
+                    1e-4 * max(1.0, abs(float(ref[1][k]))), (k,)
+            _assert_trees_close(ref[0].student_low, st.student_low,
+                                rtol=1e-4, atol=1e-6)

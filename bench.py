@@ -10,6 +10,13 @@ Methodology: K steps are chained INSIDE one compiled program via lax.scan
 (production TPU shape — no per-step host dispatch) and the timing is closed
 by a scalar host readback. NOTE: plain block_until_ready does not reliably
 synchronize on tunneled TPU platforms, so a value readback is load-bearing.
+The reported rate is the STEADY-STATE slope between an M=1-chain and an
+M=3-chain timing (one readback each): wall(M) = M*K*step + C, so the
+fixed readback RTT + dispatch cost C (~36 ms on the tunnel — a relay
+artifact, absent on directly-attached TPU hosts) cancels exactly instead
+of taxing the rate by C/(K*step) (~4% at K=80). Production training
+chains steps indefinitely; the inclusive single-chain rate is reported
+alongside as ips_inclusive_readback for transparency.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
 we normalize against A100_TORCH_BASELINE_IPS — the TF32-generous
@@ -45,11 +52,13 @@ SPEC_TFLOPS = 197.0  # v5e bf16 peak
 # batch size is a framework tuning choice and GS-LoRA's recipes span
 # bs 4-48, so the bench reports the optimum.
 BATCH_PER_STREAM = 24
-# Chain length: each timed chain costs K*step + one ~36 ms readback RTT
-# (the tunnel), so the per-step inflation is RTT/K — 0.9 ms at K=40,
-# 0.45 ms at K=80. Production training chains steps indefinitely, so the
-# longer chain is the more faithful number (round-4; K<=40 in rounds 1-3).
+# Chain length: each timed measurement runs M back-to-back K-step chains
+# (state threads through; dispatches enqueue async) closed by ONE scalar
+# readback, and the per-step time is the slope between M=1 and M=3 — the
+# fixed readback RTT + dispatch cost cancels exactly (round-4 session 5;
+# rounds 1-4 paid RTT/K per step: 0.9 ms at K=40, 0.45 ms at K=80).
 K_STEPS = 80
+CHAIN_SPANS = (1, 3)
 
 # Pretrain rate row (VERDICT r3 #6): the reference pretrain recipe's batch
 # (run_sub.sh:3-6, bs 480) on the FULL-MODEL supervised step. Work/img:
@@ -66,8 +75,6 @@ def _pretrain_ips(grad_accum: int = 1):
     Mirrors scripts/bench_pretrain.py exactly (same shapes/K -> same HLO,
     so the persistent compile cache turns the compile into a disk hit).
     Best-effort: the caller omits the field on any failure."""
-    import time as _time
-
     import jax
     import jax.numpy as jnp
 
@@ -96,15 +103,8 @@ def _pretrain_ips(grad_accum: int = 1):
         return jax.lax.scan(body, state, keys)
 
     keys = jax.random.split(jax.random.key(7), PRETRAIN_K)
-    s2, losses = multi(state, keys)
-    float(losses[-1])  # compile + warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = _time.perf_counter()
-        s2, losses = multi(state, keys)
-        float(losses[-1])
-        best = min(best, _time.perf_counter() - t0)
-    return PRETRAIN_K * bs / best / jax.device_count()
+    ips, _ = _time_chain(multi, state, keys, bs, k_steps=PRETRAIN_K)
+    return ips
 
 
 def _forget_chain(model, lora, fcfg):
@@ -149,19 +149,48 @@ def _forget_chain(model, lora, fcfg):
     return state, multi_step, keys
 
 
-def _time_chain(multi_step, state, keys, bs_total: int, repeats: int = 3):
-    """Best-of-N wall time of the compiled chain -> images/sec/chip.
-    The host readback (float) is the only real sync on the tunnel."""
+def _time_chain(multi_step, state, keys, bs_total: int, repeats: int = 3,
+                k_steps: int = K_STEPS):
+    """Steady-state images/sec/chip of the compiled chain.
+
+    Returns ``(ips_slope, ips_inclusive)``. One timed measurement = M
+    back-to-back chains (state threads through; all M executions enqueue
+    asynchronously) closed by ONE scalar readback — the only real sync on
+    the tunnel — so wall(M) = M*k*step + C with C the fixed readback RTT
+    + dispatch cost. The slope between the best-of-N M=1 and M=3 walls
+    cancels C exactly; ips_inclusive is the M=1 rate (what rounds 1-4
+    reported), kept for transparency."""
     import jax
-    s2, losses = multi_step(state, keys)  # warmup / compile
-    float(losses[-1])
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        s2, losses = multi_step(state, keys)
-        float(losses[-1])  # full-chain sync via host readback
-        best = min(best, time.perf_counter() - t0)
-    return K_STEPS * bs_total / best / jax.device_count()
+
+    def run(m):
+        s = state
+        for _ in range(m):
+            s, losses = multi_step(s, keys)
+        return losses
+
+    float(run(1)[-1])  # warmup / compile
+    walls = {}
+    for m in CHAIN_SPANS:
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            losses = run(m)
+            float(losses[-1])  # full-chain sync via host readback
+            best = min(best, time.perf_counter() - t0)
+        walls[m] = best
+    m1, m2 = CHAIN_SPANS
+    step_s = (walls[m2] - walls[m1]) / ((m2 - m1) * k_steps)
+    ips_inclusive = m1 * k_steps * bs_total / walls[m1] / jax.device_count()
+    # Noise guard: the slope must be positive and can't beat the inclusive
+    # rate by more than the fixed-cost share it removes (C/wall(1)). A
+    # violation means cross-chain timing noise, not physics — fall back to
+    # the (conservative) inclusive rate rather than emit garbage.
+    if step_s <= 0:
+        return ips_inclusive, ips_inclusive
+    ips_slope = bs_total / step_s / jax.device_count()
+    if ips_slope > 1.5 * ips_inclusive:
+        return ips_inclusive, ips_inclusive
+    return ips_slope, ips_inclusive
 
 
 def main():
@@ -177,7 +206,8 @@ def main():
     model, lora, fcfg = _flagship_configs()
     state, multi_step, keys = _forget_chain(model, lora, fcfg)
     bs = BATCH_PER_STREAM
-    ips_per_chip = _time_chain(multi_step, state, keys, 2 * bs)
+    ips_per_chip, ips_inclusive = _time_chain(multi_step, state, keys,
+                                              2 * bs)
     tflops = ips_per_chip * STEP_GFLOP_PER_IMG / 1e3
     # compiled-program HBM budget (XLA memory analysis; the dispatch-path
     # executable is already in the persistent compile cache, so this
@@ -200,7 +230,7 @@ def main():
         import dataclasses as _dc
         fast_model = _dc.replace(model, ln_dtype="bf16", gelu_impl="tanh")
         fstate, fstep, fkeys = _forget_chain(fast_model, lora, fcfg)
-        fast_ips = round(_time_chain(fstep, fstate, fkeys, 2 * bs), 1)
+        fast_ips = round(_time_chain(fstep, fstate, fkeys, 2 * bs)[0], 1)
         del fstate, fstep, fkeys
     except Exception:
         pass
@@ -245,6 +275,10 @@ def main():
         "target_note": ("vs_a100_fp32_strict is the pass/fail reading; "
                         "5x the TF32-generous denominator (=10000 img/s, "
                         "213 TF/s) exceeds the 161 TF/s chip roof"),
+        # the M=1 single-chain rate, which still pays the fixed per-chain
+        # readback RTT + dispatch cost (~36 ms tunnel relay artifact);
+        # `value` is the M=1..3 slope — the steady-state production rate
+        "ips_inclusive_readback": round(ips_inclusive, 1),
         **({"peak_hbm_gb": peak_hbm} if peak_hbm is not None else {}),
         # measured rate of the opt-in --fast_math preset (bf16 LN + tanh
         # GELU): the framework's speed ceiling when torch-parity numerics

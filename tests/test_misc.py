@@ -203,3 +203,55 @@ def test_parallelism_flags_parse_into_mesh_config():
     cfg = config_from_args(a)
     assert not (cfg.mesh.tp or cfg.mesh.fsdp or cfg.mesh.pp or cfg.mesh.sp)
     assert cfg.mesh.slices == 1
+
+
+def test_bench_time_chain_slope_and_noise_guard(monkeypatch):
+    """bench._time_chain: the M=1..3 slope must recover the true per-step
+    time with the fixed readback cost C cancelled, and the noise guard
+    must fall back to the inclusive rate on a non-positive or absurdly
+    fast slope (driver-contract surface: bench.py's headline `value`)."""
+    import bench
+
+    class _FakeLoss:
+        def __float__(self):
+            return 0.0
+
+    calls = {"n": 0}
+
+    def fake_multi(state, keys):
+        calls["n"] += 1
+        return state, [_FakeLoss()]
+
+    def make_clock(walls):
+        # _time_chain calls perf_counter twice per timed repeat (start,
+        # stop); warmup does not touch the clock. 3 repeats per span.
+        seq = []
+        for m in bench.CHAIN_SPANS:
+            for _ in range(3):
+                seq.append((0.0, walls[m]))
+        it = iter([t for pair in seq for t in pair])
+        return lambda: next(it)
+
+    k, bs, c, step = 10, 8, 0.036, 0.010
+    # wall(M) = M*k*step + C
+    monkeypatch.setattr(bench.time, "perf_counter",
+                        make_clock({1: k * step + c, 3: 3 * k * step + c}))
+    slope, incl = bench._time_chain(fake_multi, None, None, bs, k_steps=k)
+    dev = jax.device_count()
+    np.testing.assert_allclose(slope, bs / step / dev, rtol=1e-9)
+    np.testing.assert_allclose(incl, k * bs / (k * step + c) / dev,
+                               rtol=1e-9)
+    assert slope > incl  # the slope removed the fixed cost
+
+    # non-positive slope (M=3 measured FASTER than M=1): fall back
+    monkeypatch.setattr(bench.time, "perf_counter",
+                        make_clock({1: 0.5, 3: 0.4}))
+    slope, incl = bench._time_chain(fake_multi, None, None, bs, k_steps=k)
+    assert slope == incl
+
+    # absurd slope (>1.5x inclusive would imply C > a third of wall(1)
+    # at these spans... make it extreme): fall back
+    monkeypatch.setattr(bench.time, "perf_counter",
+                        make_clock({1: 1.0, 3: 1.001}))
+    slope, incl = bench._time_chain(fake_multi, None, None, bs, k_steps=k)
+    assert slope == incl

@@ -82,7 +82,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
     if not cfg.resume:
-        parser.error("--export requires a checkpoint: pass -r/--resume")
+        parser.error("export requires a checkpoint: pass -r/--resume")
     naming = "torchvision" if cfg.net == "VIT_B16" else "vit_face"
 
     from gslora_tpu.cli.common import build_params

@@ -60,21 +60,21 @@ def measure(model, lora, fcfg, bs: int, k: int, lora_apply: str = "merged",
         return jax.lax.scan(body, state, keys)
 
     keys = jax.random.split(jax.random.key(7), k)
-    s2, losses = multi(state, keys)
-    float(losses[-1])  # compile + sync
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        s2, losses = multi(state, keys)
-        float(losses[-1])
-        best = min(best, time.perf_counter() - t0)
-    ips = k * 2 * bs / best
+    # slope timing shared with the headline bench (wall(M) = M*k*step + C;
+    # the M=1..3 slope cancels the fixed readback RTT + dispatch cost C).
+    # ips/ms_per_step keep the lab's historical M=1 inclusive convention
+    # so rows stay comparable with the BASELINE.md ablation tables;
+    # images_per_sec_slope is the steady-state rate.
+    from bench import _time_chain
+    ips_slope, ips = _time_chain(multi, state, keys, 2 * bs, k_steps=k)
     return {
         "images_per_sec": round(ips, 1),
-        "ms_per_step": round(best / k * 1e3, 2),
+        "images_per_sec_slope": round(ips_slope, 1),
+        "ms_per_step": round(2 * bs / ips * 1e3, 2),
         "achieved_tflops": round(ips * gflop_per_img / 1e3, 1),
         "mfu_vs_ceiling": round(ips * gflop_per_img / 1e3
                                 / CEILING_TFLOPS, 3),
+        "achieved_tflops_slope": round(ips_slope * gflop_per_img / 1e3, 1),
     }
 
 

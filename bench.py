@@ -244,12 +244,13 @@ def main():
         pretrain_ips = round(_pretrain_ips(), 1)
     except Exception:
         pass
-    # the grad-accum BEST config at the same b480 (ga16 is a +37%
-    # throughput win over ga1 — the recipe batch sits at the HBM ceiling,
-    # BASELINE.md "Pretrain throughput"); framework capability number
-    pretrain_ips_ga16 = None
+    # the grad-accum BEST config at the same b480 (round-4 depth sweep:
+    # ga20 = micro-batch 24 is the optimum, +70% over ga1 — the recipe
+    # batch sits at the HBM ceiling and micro-24 is the per-pass geometry
+    # optimum, BASELINE.md "Pretrain throughput"); framework capability
+    pretrain_ips_ga_best = None
     try:
-        pretrain_ips_ga16 = round(_pretrain_ips(grad_accum=16), 1)
+        pretrain_ips_ga_best = round(_pretrain_ips(grad_accum=20), 1)
     except Exception:
         pass
     print(json.dumps({
@@ -291,8 +292,8 @@ def main():
             "pretrain_tflops": round(
                 pretrain_ips * PRETRAIN_GFLOP_PER_IMG / 1e3, 1)}
            if pretrain_ips is not None else {}),
-        **({"pretrain_ips_b480_ga16": pretrain_ips_ga16}
-           if pretrain_ips_ga16 is not None else {}),
+        **({"pretrain_ips_b480_ga20": pretrain_ips_ga_best}
+           if pretrain_ips_ga_best is not None else {}),
     }))
 
 

@@ -10,7 +10,9 @@ rate headline.
 
 Methodology = bench.py: K steps chained in-device via lax.scan, data
 pre-staged on device, scalar host readback as the only reliable sync on
-the tunneled platform (DEVNOTES).
+the tunneled platform (DEVNOTES), and the M=1..3 chain SLOPE as the
+steady-state rate (cancels the fixed readback RTT + dispatch cost; the
+inclusive M=1 rate is reported alongside).
 
 Run: python scripts/bench_pretrain.py [--batches 480] [--ga 1,4,16]
 """
@@ -20,7 +22,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -73,19 +74,14 @@ def main():
                 return jax.lax.scan(body, state, keys)
 
             keys = jax.random.split(jax.random.key(7), a.k)
-            s2, losses = multi(state, keys)
-            float(losses[-1])  # compile + warm
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                s2, losses = multi(state, keys)
-                float(losses[-1])
-                best = min(best, time.perf_counter() - t0)
-            ips = a.k * bs / best / jax.device_count()
+            from bench import _time_chain
+            ips, ips_incl = _time_chain(multi, state, keys, bs,
+                                        k_steps=a.k)
             tf = ips * STEP_GFLOP_PER_IMG / 1e3
             row = {"batch": bs, "grad_accum": ga,
                    "pretrain_ips_per_chip": round(ips, 1),
-                   "step_ms": round(best / a.k * 1e3, 2),
+                   "ips_inclusive_readback": round(ips_incl, 1),
+                   "step_ms": round(bs / ips / jax.device_count() * 1e3, 2),
                    "achieved_tflops": round(tf, 1),
                    "mfu_vs_observed_ceiling": round(tf / CEILING_TFLOPS, 3)}
             results.append(row)

@@ -64,6 +64,64 @@ def test_train_forget_cli_open(tmp_path):
     assert report["open_acc"] is not None
 
 
+@pytest.mark.parametrize("flag", ["--l2", "--ewc"])
+def test_train_forget_cli_single_step_reg_open(tmp_path, flag):
+    """Single-step reg-family dispatch (train_own_forget_open.py:837-1063,
+    previously silently ignored — VERDICT r4 ask #2): the reg loop runs on
+    concat(relabeled-forget, remain) under the anchored penalty and
+    reports open_acc."""
+    from gslora_tpu.cli import train_forget
+    report = train_forget.main(_common_args(tmp_path, [
+        flag, "-e", "1", "--lr", "1e-3",
+        "--num_of_first_cls", "6", "--per_forget_cls", "2",
+        "--open_cls_num", "2", "--data_ratio", "1.0",
+    ]))
+    assert report["open_acc"] is not None
+    assert report["norm_list"] is None  # get_norm_of_lora is one_stage-only
+    assert (tmp_path / "report.json").exists()
+
+
+def test_train_forget_cli_retrain_skips_resume(tmp_path):
+    """--retrain trains a FRESH model: the reference skips the checkpoint
+    load entirely (train_own_forget_open.py:642 `if BACKBONE_RESUME_ROOT
+    and not args.retrain`) — so a bogus resume path must not even be
+    opened."""
+    from gslora_tpu.cli import train_forget
+    report = train_forget.main(_common_args(tmp_path, [
+        "--retrain", "-e", "1", "--lr", "1e-3",
+        "--num_of_first_cls", "6", "--per_forget_cls", "2",
+        "--data_ratio", "1.0", "-r", str(tmp_path / "nonexistent.msgpack"),
+    ]))
+    assert "best_H_mean" in report
+
+
+def test_train_forget_cli_unsupported_method_raises(tmp_path):
+    """Methods the reference cannot run single-step must raise loudly,
+    never silently run GS-LoRA (the pre-round-5 footgun)."""
+    import pytest as _pytest
+
+    from gslora_tpu.cli import train_forget
+    with _pytest.raises(ValueError, match="single-step"):
+        train_forget.main(_common_args(tmp_path, [
+            "--SCRUB", "-e", "1", "--lr", "1e-3",
+            "--num_of_first_cls", "6", "--per_forget_cls", "2",
+            "--data_ratio", "1.0",
+        ]))
+
+
+def test_train_forget_cli_one_stage_wins(tmp_path):
+    """--one_stage dispatches FIRST (train_own_forget_open.py:785): with
+    both --one_stage and a baseline flag, GS-LoRA runs (every active
+    reference open-set recipe relies on this — scripts/run_forget_open.sh)."""
+    from gslora_tpu.cli import train_forget
+    report = train_forget.main(_common_args(tmp_path, [
+        "--one_stage", "--l2", "-e", "1", "--lr", "1e-3", "--BND", "10",
+        "--num_of_first_cls", "6", "--per_forget_cls", "2",
+        "--data_ratio", "1.0",
+    ]))
+    assert report["norm_list"] is not None  # GS-LoRA path ran
+
+
 def test_train_forget_cl_cli_gs_lora(tmp_path):
     from gslora_tpu.cli import train_forget_cl
     report = train_forget_cl.main(_common_args(tmp_path, [

@@ -29,7 +29,8 @@ class BatchLoader:
                  shuffle: bool = True, seed: int = 1337,
                  pad_to_batch: bool = False, prefetch: int = 2,
                  drop_last: bool = False, mask_padding: bool = False,
-                 uint8_transfer: bool = False):
+                 uint8_transfer: bool = False,
+                 local_bounds: "Optional[Tuple[int, int]]" = None):
         """The reference keeps ragged last batches (drop_last=False
         everywhere) — same default here. A ragged tail costs one extra XLA
         compile per distinct shape (minutes on tunneled TPUs), so real runs
@@ -53,7 +54,26 @@ class BatchLoader:
         datasets applying mean/std or float augmentation ON HOST must
         keep the fp32 default. EVERY assembled fp32 batch is validated
         for exact uint8 representability (a rint round-trip per batch —
-        cheap next to decode; raw uint8 batches skip it)."""
+        cheap next to decode; raw uint8 batches skip it).
+
+        ``local_bounds`` (multi-host pods, parallel/multihost.py): decode
+        only rows [start, stop) of each GLOBAL batch — ``batch_size``
+        stays the global batch; every host runs an identically-seeded
+        loader so the global shuffle order is in lockstep and host k
+        materializes just its shard. Requires static shapes
+        (mask_padding or drop_last): a ragged tail has no well-defined
+        per-host row split."""
+        if local_bounds is not None:
+            lo, hi = local_bounds
+            if not (0 <= lo < hi <= batch_size):
+                raise ValueError(f"local_bounds {local_bounds} not within "
+                                 f"[0, {batch_size})")
+            if not (mask_padding or drop_last):
+                raise ValueError(
+                    "local_bounds needs static global batches — enable "
+                    "mask_padding (padded tail, -1 sentinel labels) or "
+                    "drop_last")
+        self.local_bounds = local_bounds
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -76,12 +96,17 @@ class BatchLoader:
         if self.pad_to_batch and len(idxs) < self.bs:
             need = self.bs - len(idxs)
             idxs = idxs + [idxs[i % len(idxs)] for i in range(need)]
+        lo = 0
+        if self.local_bounds is not None:
+            # decode only this host's rows of the global batch
+            lo, hi = self.local_bounds
+            idxs = idxs[lo:hi]
         imgs = self.ds.decode_batch(idxs) if hasattr(self.ds, "decode_batch") \
             else np.stack([self.ds.decode(i) for i in idxs])
         labels = np.asarray([self.ds.samples[i][1] for i in idxs],
                             dtype=np.int32)
-        if self.mask_padding and valid < len(idxs):
-            labels[valid:] = -1
+        if self.mask_padding and valid < lo + len(idxs):
+            labels[max(valid - lo, 0):] = -1
         if self.uint8_transfer:
             return self._quantize(imgs), labels
         if imgs.dtype == np.uint8:

@@ -180,7 +180,17 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, *arrays):
     """Place host arrays with batch-dim sharding over the data-parallel
-    axes (dcn x data on a multi-slice mesh)."""
+    axes (dcn x data on a multi-slice mesh).
+
+    Multi-host (jax.process_count() > 1): each process passes ONLY its
+    local rows (BatchLoader(local_bounds=...) / multihost.
+    process_sharded_loader) and the global Array is assembled via
+    jax.make_array_from_process_local_data — a full-global-batch feed
+    raises with the expected row span (parallel/multihost.py)."""
+    if jax.process_count() > 1:
+        from gslora_tpu.parallel.multihost import make_global_batch
+        out = tuple(make_global_batch(mesh, a) for a in arrays)
+        return out if len(out) > 1 else out[0]
     sh = batch_sharding(mesh)
     out = tuple(jax.device_put(a, sh) for a in arrays)
     return out if len(out) > 1 else out[0]
@@ -296,8 +306,20 @@ def param_shardings(mesh: Mesh, params, shard_head: bool = True,
 
 def replicate(mesh: Mesh, tree, tp: bool = False, fsdp: bool = False,
               pp: bool = False):
-    """device_put a pytree with its param_shardings layout."""
+    """device_put a pytree with its param_shardings layout.
+
+    Multi-host: every process holds the full params on host (identical
+    init seed / identical checkpoint restore), and each addressable shard
+    is served its slice via make_array_from_callback — works for every
+    layout (replicated, tp/fsdp/pp shards) without device_put's
+    non-addressable-sharding restrictions."""
     sh = param_shardings(mesh, tree, tp=tp, fsdp=fsdp, pp=pp)
+    if jax.process_count() > 1:
+        def put(x, s):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, s,
+                                                lambda idx: x[idx])
+        return jax.tree.map(put, tree, sh)
     return jax.tree.map(jax.device_put, tree, sh)
 
 
@@ -377,8 +399,20 @@ def placement(mesh: Optional[Mesh], tp: bool = False, fsdp: bool = False,
             (lambda *a: tuple(jnp.asarray(x) for x in a))
     bs = batch_sharding(mesh)
 
-    def put_batch(*arrays):
-        return tuple(jax.device_put(jnp.asarray(a), bs) for a in arrays)
+    if jax.process_count() > 1:
+        # multi-host: each process feeds only its local rows; the global
+        # Array is assembled across processes (parallel/multihost.py) —
+        # shape-guarded there so single-process-style full batches fail
+        # loudly instead of silently mis-sharding
+        from gslora_tpu.parallel.multihost import make_global_batch
+
+        def put_batch(*arrays):
+            return tuple(make_global_batch(mesh, np.asarray(a))
+                         for a in arrays)
+    else:
+        def put_batch(*arrays):
+            return tuple(jax.device_put(jnp.asarray(a), bs)
+                         for a in arrays)
 
     return (lambda t: replicate(mesh, t, tp=tp, fsdp=fsdp, pp=pp)), \
         put_batch

@@ -85,6 +85,31 @@ def build_params(cfg: RunConfig, seed: Optional[int] = None):
         return params
     path = cfg.resume
     if path.endswith(".msgpack"):
+        # Mirror the reference's strict=False-with-only-lora-missing resume
+        # (train_own_forget.py:629-638) for our own format too: a rank-0
+        # pretrain checkpoint must load into a rank>0 forget run (the
+        # run_pretrain.sh -> run_forget.sh chain), with the absent LoRA
+        # keeping its fresh init; any missing NON-lora key still aborts.
+        from flax import serialization
+        with open(path, "rb") as fh:
+            raw = serialization.msgpack_restore(fh.read())
+        raw_lora = raw.get("lora") if isinstance(raw, dict) else None
+        if isinstance(raw, dict) and set(raw) == {"base", "lora"} and \
+                jax.tree.structure(raw_lora) != \
+                jax.tree.structure(params.get("lora", {})):
+            if raw_lora and not params.get("lora"):
+                # torch treats these as warned unexpected_keys, not fatal
+                import warnings
+                warnings.warn(f"resume {path}: dropping its LoRA tree "
+                              f"(this run has lora_rank=0)", stacklevel=2)
+            elif raw_lora:
+                raise ValueError(
+                    f"Wrong resume: {path} carries a LoRA tree that does "
+                    f"not match lora_rank={cfg.lora.rank} "
+                    f"(train_own_forget.py:629-638 aborts likewise)")
+            merged = dict(raw)
+            merged["lora"] = params["lora"]
+            return serialization.from_state_dict(params, merged)
         return load_pytree(path, params)
     if cfg.net == "VIT_B16":
         from gslora_tpu.models.import_torch import load_torch_state_dict

@@ -3,6 +3,9 @@
 # (mirrors reference scripts/run_cl_forget.sh:6-22: 4 tasks, start 80 /
 # forget 20 per task, few-shot 4, per-task beta + prototype weights)
 set -e
+# GSLORA_EXTRA_ARGS: optional extra/override flags appended to the
+# python invocation (last occurrence wins in argparse) — used by the
+# smoke suite (tests/test_scripts.py) to shrink runs; empty by default.
 CKPT=${1:?usage: run_cl_forget.sh <pretrained_ckpt>}
 
 python -m gslora_tpu.cli.train_forget_cl --one_stage -b 4 -d casia100 \
@@ -16,7 +19,7 @@ python -m gslora_tpu.cli.train_forget_cl --one_stage -b 4 -d casia100 \
     --prototype --BND_pro 50 --cl_prof_list 0.015 0.06 0.025 0.012 \
     --pro_r_weight 0 \
     --average_weight --ema_epoch 30 --ema_decay 0.9 \
-    --few_shot --few_shot_num 4
+    --few_shot --few_shot_num 4 $GSLORA_EXTRA_ARGS
 
 # ---- baseline templates (reference keeps these commented the same way) ----
 # retrain: ... train_forget_cl --retrain --lora_rank 0 --num_tasks 4 ...

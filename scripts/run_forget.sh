@@ -2,6 +2,9 @@
 # Single-step GS-LoRA++ forgetting, few-shot recipe
 # (mirrors reference scripts/run_forget.sh:35-56)
 set -e
+# GSLORA_EXTRA_ARGS: optional extra/override flags appended to the
+# python invocation (last occurrence wins in argparse) — used by the
+# smoke suite (tests/test_scripts.py) to shrink runs; empty by default.
 NUM_FIRST_CLS=90
 PER_FORGET_CLS=10
 EPOCH=100
@@ -19,5 +22,5 @@ python -m gslora_tpu.cli.train_forget -b 4 -d casia100 -n VIT -e $EPOCH \
     --warmup_alpha --big_alpha $alpha \
     --prototype --pro_f_weight $fpweight --pro_r_weight 0 \
     --average_weight --ema_epoch 50 --ema_decay 0.9 \
-    --few_shot --few_shot_num $shot --aug_num 5
+    --few_shot --few_shot_num $shot --aug_num 5 $GSLORA_EXTRA_ARGS
 done; done; done; done; done

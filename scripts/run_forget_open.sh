@@ -14,6 +14,9 @@
 # literal behavior; METHOD=gs_lora mirrors the commented rank-8 template
 # (run_forget_open.sh:13-26).
 set -e
+# GSLORA_EXTRA_ARGS: optional extra/override flags appended to the
+# python invocation (last occurrence wins in argparse) — used by the
+# smoke suite (tests/test_scripts.py) to shrink runs; empty by default.
 NUM_FIRST_CLS=70
 PER_FORGET_CLS=$((100 - NUM_FIRST_CLS))
 RATIO=0.1
@@ -32,7 +35,7 @@ if [ "$METHOD" = "gs_lora" ]; then
         --warmup-epochs 0 --lr $lr --lora_rank 8 --decay-epochs $EPOCH \
         --vit_depth 6 --num_of_first_cls $NUM_FIRST_CLS \
         --per_forget_cls $PER_FORGET_CLS -r "$CKPT" \
-        --BND 110 --beta $beta --alpha $alpha --min-lr 1e-5
+        --BND 110 --beta $beta --alpha $alpha --min-lr 1e-5 $GSLORA_EXTRA_ARGS
     done; done; done
 else
     # The reference's ACTIVE open-set config (run_forget_open.sh:29-42):
@@ -47,6 +50,6 @@ else
         --warmup-epochs 0 --lr $lr --lora_rank 0 --decay-epochs $EPOCH \
         --vit_depth 6 --num_of_first_cls $NUM_FIRST_CLS \
         --per_forget_cls $PER_FORGET_CLS -r "$CKPT" \
-        --min-lr 1e-5
+        --min-lr 1e-5 $GSLORA_EXTRA_ARGS
     done
 fi

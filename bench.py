@@ -244,6 +244,30 @@ def main():
         pretrain_ips = round(_pretrain_ips(), 1)
     except Exception:
         pass
+    # serving (eval-forward) rates at each model's measured optimum batch
+    # (round-5 slope re-measure, scripts/bench_inference.py: P8S8 b48
+    # 12295 img/s = 60.7% of roof, B/16 b48 3156 = 68.8% — the old 8047/
+    # 2563 rows were b128/b64 optima under the RTT-taxed inclusive timing).
+    # Exact same config as the lab -> persistent-cache disk hit.
+    serving = {}
+    try:
+        import os as _os
+        import sys as _sys
+        _sys.path.insert(0, _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), "scripts"))
+        from bench_inference import FWD_GFLOP, measure
+
+        from gslora_tpu.config import LoraConfig, ViTConfig
+        import dataclasses as _dc
+        model_s = _dc.replace(model, dropout=0.0, emb_dropout=0.0)
+        serving["serving_ips_p8s8"] = measure(
+            model_s, LoraConfig(rank=8), 48, 50,
+            FWD_GFLOP["p8s8"])["images_per_sec"]
+        serving["serving_ips_b16"] = measure(
+            ViTConfig.vit_b16(num_class=100), LoraConfig(rank=8), 48, 50,
+            FWD_GFLOP["b16"])["images_per_sec"]
+    except Exception:
+        pass
     # the grad-accum BEST config at the same b480 (round-4 depth sweep:
     # ga20 = micro-batch 24 is the optimum, +70% over ga1 — the recipe
     # batch sits at the HBM ceiling and micro-24 is the per-pass geometry
@@ -294,6 +318,10 @@ def main():
            if pretrain_ips is not None else {}),
         **({"pretrain_ips_b480_ga20": pretrain_ips_ga_best}
            if pretrain_ips_ga_best is not None else {}),
+        # serving (eval-forward) slope rates at the measured optimum b48
+        # (VERDICT r4 #5; methodology + full batch sweeps in
+        # scripts/bench_inference.py and BASELINE.md "Serving")
+        **serving,
     }))
 
 

@@ -39,7 +39,7 @@ class PretrainState:
                    step=jnp.int32(0))
 
 
-def _accumulated(grad_fn, n: int):
+def _accumulated(grad_fn, n: int, accum_dtype=jnp.float32):
     """Wrap ``grad_fn(x, y, rng) -> (grads, metrics)`` to run over ``n``
     equal microbatch slices via lax.scan, weighted to the exact full-batch
     masked mean.
@@ -58,12 +58,15 @@ def _accumulated(grad_fn, n: int):
     count then equals the full-batch masked mean exactly, for full AND
     padded-tail batches (a slice holding one valid sample contributes
     1/total_valid per sample, never 1/(n*slice_valid); all-padding slices
-    contribute zero). Floating-point leaves accumulate in float32 even
-    when params/grads are bfloat16 (an n-way bf16 sum compounds rounding
-    the full-batch backward's fp32 reduction accumulators never see) and
-    are cast back after normalization. A batch whose size ``n`` does not
-    divide (an unpadded ragged tail) falls back to one full-batch call —
-    trace-time static-shape branch — instead of raising mid-run.
+    contribute zero). Floating-point leaves accumulate in ``accum_dtype``
+    (default float32) even when params/grads are bfloat16 (an n-way bf16
+    sum compounds rounding the full-batch backward's fp32 reduction
+    accumulators never see) and are cast back after normalization;
+    ``accum_dtype=jnp.bfloat16`` halves the carry's HBM traffic at the
+    cost of that compounding (measured in scripts/perf_pretrain_lab.py).
+    A batch whose size ``n`` does not divide (an unpadded ragged tail)
+    falls back to one full-batch call — trace-time static-shape branch —
+    instead of raising mid-run.
     """
     def accum(x, y, rng):
         b = x.shape[0]
@@ -76,7 +79,7 @@ def _accumulated(grad_fn, n: int):
         zeros = jax.tree.map(
             lambda s: jnp.zeros(
                 s.shape,
-                jnp.float32 if jnp.issubdtype(s.dtype, jnp.floating)
+                accum_dtype if jnp.issubdtype(s.dtype, jnp.floating)
                 else s.dtype),
             shapes)
 
@@ -85,7 +88,8 @@ def _accumulated(grad_fn, n: int):
             valid = jnp.sum((micro[1] >= 0).astype(jnp.float32))
             out = grad_fn(*micro)
             total = jax.tree.map(
-                lambda c, o: c + o.astype(c.dtype) * valid, total, out)
+                lambda c, o: c + o.astype(c.dtype) * valid.astype(c.dtype),
+                total, out)
             return (total, count + valid), None
 
         (total, count), _ = jax.lax.scan(body, (zeros, jnp.float32(0.0)), xs)
@@ -98,12 +102,13 @@ def _accumulated(grad_fn, n: int):
 
 def make_pretrain_step(model: ViTConfig, lora: LoraConfig, optimizer,
                        compute_dtype=jnp.bfloat16, lora_only: bool = False,
-                       grad_accum: int = 1):
+                       grad_accum: int = 1, accum_dtype=jnp.float32):
     """pretrain_step(state, x, y, lr, rng) -> (state, metrics).
 
     ``grad_accum > 1`` splits each batch into that many microbatches inside
     the jitted step (see ``_accumulated``) — one optimizer update per batch,
-    activation memory divided by the accumulation factor."""
+    activation memory divided by the accumulation factor. ``accum_dtype``
+    is the micro-grad carry dtype (see ``_accumulated``)."""
 
     def loss_fn(params, x, y, rng):
         if model.head_type == "SFace":
@@ -128,8 +133,9 @@ def make_pretrain_step(model: ViTConfig, lora: LoraConfig, optimizer,
             def gfn(xm, ym, rm):
                 return jax.grad(lora_loss, has_aux=True)(
                     state.params["lora"], state.params["base"], xm, ym, rm)
-            grads, metrics = (_accumulated(gfn, grad_accum)(x, y, rng)
-                              if grad_accum > 1 else gfn(x, y, rng))
+            grads, metrics = (
+                _accumulated(gfn, grad_accum, accum_dtype)(x, y, rng)
+                if grad_accum > 1 else gfn(x, y, rng))
             opt_state = _with_lr(state.opt_state, lr)
             updates, opt_state = optimizer.update(grads, opt_state,
                                                   state.params["lora"])
@@ -144,8 +150,9 @@ def make_pretrain_step(model: ViTConfig, lora: LoraConfig, optimizer,
     def step(state: PretrainState, x, y, lr, rng):
         def gfn(xm, ym, rm):
             return jax.grad(loss_fn, has_aux=True)(state.params, xm, ym, rm)
-        grads, metrics = (_accumulated(gfn, grad_accum)(x, y, rng)
-                          if grad_accum > 1 else gfn(x, y, rng))
+        grads, metrics = (
+            _accumulated(gfn, grad_accum, accum_dtype)(x, y, rng)
+            if grad_accum > 1 else gfn(x, y, rng))
         opt_state = _with_lr(state.opt_state, lr)
         updates, opt_state = optimizer.update(grads, opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -25,7 +25,8 @@ CEILING_TFLOPS = 161.0  # re-probed v5e roof (scripts/roofline_probe, round 3)
 
 def measure(model, lora, fcfg, bs: int, k: int, lora_apply: str = "merged",
             fused_batch: bool = True,
-            gflop_per_img: float = STEP_GFLOP_PER_IMG):
+            gflop_per_img: float = STEP_GFLOP_PER_IMG,
+            grad_accum: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -40,7 +41,8 @@ def measure(model, lora, fcfg, bs: int, k: int, lora_apply: str = "merged",
     state = ForgetState.create(params, opt)
     step = make_forget_step(model, lora, fcfg, opt,
                             compute_dtype=jnp.bfloat16, use_prototype=True,
-                            lora_apply=lora_apply, fused_batch=fused_batch)
+                            lora_apply=lora_apply, fused_batch=fused_batch,
+                            grad_accum=grad_accum)
     hw = model.image_size
     xf = jax.random.normal(jax.random.key(1), (bs, 3, hw, hw), jnp.float32)
     yf = jnp.arange(bs, dtype=jnp.int32) % 10 + 90

@@ -74,13 +74,20 @@ def main():
         unroll = next((int(p[1:]) for p in mods
                        if p.startswith("u") and p[1:].isdigit()), 1)
         over.update(scan_unroll=unroll)
+        # fgaN: per-stream grad accumulation inside the forget step (the
+        # round-4 two-phase gate scheme) — the VERDICT r4 #8 row family:
+        # does the P8S8 b480-ga20 throughput win transfer to the 86M-param
+        # B/16, whose HBM pressure is higher (9.83 GB at b64/stream)?
+        ga = next((int(p[3:]) for p in mods
+                   if p.startswith("fga") and p[3:].isdigit()), 1)
         m = dataclasses.replace(base, **over)
         try:
             r = measure(m, lora, fcfg, bs, args.k,
                         lora_apply="factored" if "fact" in mods
                         else "merged",
                         fused_batch="nofuse" not in mods,
-                        gflop_per_img=B16_GFLOP_PER_IMG)
+                        gflop_per_img=B16_GFLOP_PER_IMG,
+                        grad_accum=ga)
             print(json.dumps({"variant": v, "batch_per_stream": bs, **r}),
                   flush=True)
         except Exception as e:

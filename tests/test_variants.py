@@ -156,6 +156,38 @@ def test_grad_accum_matches_full_batch():
                                        rtol=1e-4, atol=1e-5)
 
 
+def test_grad_accum_bf16_carry_close_to_fp32():
+    """accum_dtype=bfloat16 (the round-5 perf-lab lever: halves the
+    micro-grad carry's HBM traffic) must track the fp32-carry step to
+    bf16 rounding — same math, coarser accumulator — and return grads
+    in the params' dtype either way."""
+    from gslora_tpu.engine.pretrain import PretrainState, make_pretrain_step
+    lora = LoraConfig(rank=0)
+    x = jax.random.normal(jax.random.key(1), (8, 3, 16, 16))
+    y = jnp.array([0, 1, 2, 3, 4, 5, 0, 1])
+
+    def run(dt):
+        params = init_vit_params(jax.random.key(0), CFG, lora)
+        opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-3))
+        state = PretrainState.create(params, opt)
+        step = make_pretrain_step(CFG, lora, opt, compute_dtype=jnp.float32,
+                                  grad_accum=4, accum_dtype=dt)
+        state, m = step(state, x, y, jnp.float32(1e-3), jax.random.key(0))
+        return state, m
+
+    ref, mref = run(jnp.float32)
+    st, m = run(jnp.bfloat16)
+    # loss metric itself rides the bf16 carry: ~1e-2 relative rounding
+    assert abs(float(m["loss"]) - float(mref["loss"])) < 2e-2 * max(
+        1.0, abs(float(mref["loss"])))
+    for a, b in zip(jax.tree.leaves(ref.params), jax.tree.leaves(st.params)):
+        assert a.dtype == b.dtype
+        # atol 2*lr: AdamW's g/sqrt(v) normalization can turn one
+        # bf16-rounded micro-grad into an O(lr) update flip on a leaf
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=2e-3)
+
+
 def test_grad_accum_lora_only_and_indivisible():
     from gslora_tpu.engine.pretrain import PretrainState, make_pretrain_step
     lora = LoraConfig(rank=4)

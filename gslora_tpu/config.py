@@ -93,7 +93,11 @@ class ViTConfig:
     # optimum (2995 vs 3650 img/s, b24 u6): the flat bitcast->reshape->
     # slice chain materializes the mask instead of fusing, and dropout
     # is nearly free there anyway (nodrop 3701 = +0.18 ms/step) — kept
-    # only as a documented negative result / option
+    # only as a documented negative result / option. "bits32" = one raw
+    # RBG word per element compared against round(keep * 2^32) (skips
+    # the int->float conversion AND the lane-packing chain; quantization
+    # 2^-32) — measured at the pretrain ga20-b480 optimum in
+    # scripts/perf_pretrain_lab.py
     dropout_impl: str = "uniform"
     # perf-ablation knobs (defaults preserve torch parity; used by
     # scripts/perf_attention_lab to re-take the VPU-cost breakdown at the
@@ -557,7 +561,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "dynamic int8 (~2x MXU rate on v5e; eval/serving "
                         "drivers only — training refuses it)")
     p.add_argument("--dropout_impl", default="uniform", type=str,
-                   choices=["uniform", "bits16"],
+                   choices=["uniform", "bits16", "bits32"],
                    help="dropout mask generator: uniform fp32 compare or "
                         "raw uint16 RBG lanes (cheaper on TPU; keep-prob "
                         "quantized at 2^-16)")

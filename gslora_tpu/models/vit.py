@@ -136,7 +136,15 @@ def _dropout(x: jax.Array, rate: float, rng, deterministic: bool,
     if deterministic or rate == 0.0 or rng is None:
         return x
     keep = 1.0 - rate
-    if impl == "bits16":
+    if impl == "bits32":
+        # one 32-bit RBG word per element, kept iff word < keep * 2^32:
+        # skips the uniform path's int->float conversion AND bits16's
+        # lane-packing bitcast/reshape/slice chain (which materialized
+        # instead of fusing — DEVNOTES round-3). P(keep) quantized at
+        # 2^-32, finer than the fp32 uniform compare's 2^-24.
+        thresh = jnp.uint32(min(0xFFFFFFFF, round(keep * 4294967296.0)))
+        mask = jax.random.bits(rng, x.shape, dtype=jnp.uint32) < thresh
+    elif impl == "bits16":
         # mask-generation cost dominates dropout on TPU (the FFN-hidden
         # mask is (b, n, mlp_dim) per layer): draw HALF as many 32-bit
         # RBG words, view them as uint16 lanes, and keep iff

@@ -69,6 +69,10 @@ def build(bs: int, ga: int, mods, k: int, tiny: bool = False):
     model, lora, _ = _flagship_configs(tiny=tiny)
     if "nodrop" in mods:
         model = dataclasses.replace(model, dropout=0.0, emb_dropout=0.0)
+    if "bits16" in mods:
+        model = dataclasses.replace(model, dropout_impl="bits16")
+    if "bits32" in mods:
+        model = dataclasses.replace(model, dropout_impl="bits32")
     if "softmax" in mods:
         model = dataclasses.replace(model, head_type="Softmax")
     hw = model.image_size
@@ -107,7 +111,17 @@ def build(bs: int, ga: int, mods, k: int, tiny: bool = False):
         @jax.jit
         def step(s, xm, ym, lr, rm):
             out = acc(xm, ym, rm)
-            m = out[1] if isinstance(out, tuple) else out
+            if isinstance(out, tuple):
+                g, m = out
+                # fold a scalar of the grads into the output so XLA cannot
+                # dead-code-eliminate the backward (caught by the CPU smoke:
+                # gradonly timed FASTER than fwdonly before this)
+                gsum = sum(jnp.sum(t.astype(jnp.float32))
+                           for t in jax.tree.leaves(g))
+                # 1e-30 (not 0.0): mul-by-zero is algebraically foldable
+                m = dict(m, loss=m["loss"] + 1e-30 * gsum)
+            else:
+                m = out
             return s, m
     else:
         step = make_pretrain_step(model, lora, opt,
@@ -217,9 +231,15 @@ def run_numerics():
         "param_rms": float(f"{rms_p:.3e}")}), flush=True)
 
 
-def run_gemmprobe(k: int = 40):
+def run_gemmprobe(k: int = 2000):
     """The micro-24 backward's dW GEMMs in both output layouts, timed as
-    standalone chained kernels vs the roof. n = 24*197 tokens."""
+    standalone chained kernels vs the roof. n = 24*197 tokens.
+
+    k must be large enough that k GEMMs dwarf the fixed per-chain host
+    dispatch (~27 ms on the tunnel): the first cut at k=40 measured a
+    flat ~680 us/GEMM for every shape — pure dispatch. The perturbation
+    is ADDITIVE (``xact + cc``): a scalar MULTIPLY distributes through
+    the dot, so XLA hoists the GEMM out of the scan as loop-invariant."""
     import jax
     import jax.numpy as jnp
 
@@ -236,7 +256,7 @@ def run_gemmprobe(k: int = 40):
             @jax.jit
             def chain(c, _keys, xact=xact, dy=dy, layout=layout):
                 def body(cc, _):
-                    xx = xact * (1 + cc * 1e-12)
+                    xx = xact + cc.astype(jnp.bfloat16)
                     if layout == "dm":
                         w = xx.T @ dy          # (d_in, d_out)
                     else:

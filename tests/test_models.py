@@ -215,28 +215,29 @@ def test_scan_unroll_preserves_forward_and_grads():
             rtol=1e-5, atol=1e-7, err_msg=jax.tree_util.keystr(p))
 
 
-def test_bits16_dropout_distribution_and_values():
-    """dropout_impl="bits16" must behave as inverted dropout: outputs are
-    exactly 0 or x/keep, keep-rate matches within quantization+sampling
-    tolerance, deterministic under the same key, and the train forward
-    stays dropout-active."""
+@pytest.mark.parametrize("impl", ["bits16", "bits32"])
+def test_bits_dropout_distribution_and_values(impl):
+    """dropout_impl="bits16"/"bits32" must behave as inverted dropout:
+    outputs are exactly 0 or x/keep, keep-rate matches within
+    quantization+sampling tolerance, deterministic under the same key,
+    and the train forward stays dropout-active."""
     from gslora_tpu.models.vit import _dropout
     rate = 0.1
     x = jnp.ones((64, 1024), jnp.float32)
-    y = _dropout(x, rate, jax.random.key(0), False, impl="bits16")
+    y = _dropout(x, rate, jax.random.key(0), False, impl=impl)
     vals = np.unique(np.asarray(y).round(6))
     np.testing.assert_allclose(vals, [0.0, 1.0 / (1.0 - rate)], atol=1e-6)
     keep_frac = float((y > 0).mean())
     assert abs(keep_frac - (1.0 - rate)) < 0.01, keep_frac
-    y2 = _dropout(x, rate, jax.random.key(0), False, impl="bits16")
+    y2 = _dropout(x, rate, jax.random.key(0), False, impl=impl)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
     # odd element count exercises the bitcast pad/slice path
     xo = jnp.ones((3, 5, 7), jnp.float32)
-    yo = _dropout(xo, rate, jax.random.key(1), False, impl="bits16")
+    yo = _dropout(xo, rate, jax.random.key(1), False, impl=impl)
     assert yo.shape == xo.shape
 
     import dataclasses
-    cfg = dataclasses.replace(CFG, dropout_impl="bits16")
+    cfg = dataclasses.replace(CFG, dropout_impl=impl)
     params = _params()
     xb = jax.random.normal(jax.random.key(5), (2, 3, 32, 32))
     e1 = vit_embed(params, xb, cfg, LORA, train=True, rng=jax.random.key(10),

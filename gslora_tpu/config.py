@@ -97,7 +97,9 @@ class ViTConfig:
     # RBG word per element compared against round(keep * 2^32) (skips
     # the int->float conversion AND the lane-packing chain; quantization
     # 2^-32) — measured at the pretrain ga20-b480 optimum in
-    # scripts/perf_pretrain_lab.py
+    # scripts/perf_pretrain_lab.py. "bits8" = one uint8 word per element
+    # (quarters the materialized RngBitGenerator tensor, the dominant
+    # dropout cost; P(keep) quantized at 2^-8 — perf option, not parity)
     dropout_impl: str = "uniform"
     # perf-ablation knobs (defaults preserve torch parity; used by
     # scripts/perf_attention_lab to re-take the VPU-cost breakdown at the
@@ -561,10 +563,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "dynamic int8 (~2x MXU rate on v5e; eval/serving "
                         "drivers only — training refuses it)")
     p.add_argument("--dropout_impl", default="uniform", type=str,
-                   choices=["uniform", "bits16", "bits32"],
+                   choices=["uniform", "bits16", "bits32", "bits8"],
                    help="dropout mask generator: uniform fp32 compare or "
-                        "raw uint16 RBG lanes (cheaper on TPU; keep-prob "
-                        "quantized at 2^-16)")
+                        "raw uint RBG words (cheaper on TPU; keep-prob "
+                        "quantized at 2^-16/2^-32/2^-8 resp.)")
     p.add_argument("--ln_dtype", default="fp32", type=str,
                    choices=["fp32", "bf16"],
                    help="block LayerNorm stats dtype: fp32 = torch parity "

@@ -144,6 +144,17 @@ def _dropout(x: jax.Array, rate: float, rng, deterministic: bool,
         # 2^-32, finer than the fp32 uniform compare's 2^-24.
         thresh = jnp.uint32(min(0xFFFFFFFF, round(keep * 4294967296.0)))
         mask = jax.random.bits(rng, x.shape, dtype=jnp.uint32) < thresh
+    elif impl == "bits8":
+        # one uint8 RBG word per element: the RngBitGenerator HLO's output
+        # is materialized in HBM (it cannot fuse into consumer fusions),
+        # so the mask generator's traffic — not the compare/apply, which
+        # DO fuse — dominates dropout cost on TPU. u8 output quarters
+        # that tensor vs uniform/bits32 (measured at the pretrain
+        # b480-ga20 optimum in scripts/perf_pretrain_lab.py). P(keep)
+        # quantized at 2^-8 (keep=0.9 realizes 230/256 = 0.8984) — a
+        # perf option, not the parity default.
+        thresh = jnp.uint8(min(255, round(keep * 256.0)))
+        mask = jax.random.bits(rng, x.shape, dtype=jnp.uint8) < thresh
     elif impl == "bits16":
         # mask-generation cost dominates dropout on TPU (the FFN-hidden
         # mask is (b, n, mlp_dim) per layer): draw HALF as many 32-bit

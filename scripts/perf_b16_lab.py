@@ -22,6 +22,10 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # ViT-B/16 @224 merged LoRA train step: ~93.7 GFLOP/img (XLA cost
 # analysis via scripts/flops_analysis — fwd ~35.1 GFLOP/img; the

@@ -73,6 +73,8 @@ def build(bs: int, ga: int, mods, k: int, tiny: bool = False):
         model = dataclasses.replace(model, dropout_impl="bits16")
     if "bits32" in mods:
         model = dataclasses.replace(model, dropout_impl="bits32")
+    if "bits8" in mods:
+        model = dataclasses.replace(model, dropout_impl="bits8")
     if "softmax" in mods:
         model = dataclasses.replace(model, head_type="Softmax")
     hw = model.image_size
@@ -180,7 +182,14 @@ def time_donated(multi, state, keys, bs, k, spans=(1, 3), repeats=3):
 
 
 def run_numerics():
-    """5 steps at b480-ga20, fp32 vs bf16 carry, same init/data/keys."""
+    """5 steps at b480-ga20, fp32 vs bf16 carry, same init/data/keys.
+
+    Softmax head + lr 1e-4: CosFace's s=64 logit scale at lr 3e-4 from a
+    random init diverges to NaN by step 2 (the recipe ramps it with
+    warmup), and a diverging trajectory measures nothing — the carry
+    dtype's drift is head-independent."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -192,12 +201,14 @@ def run_numerics():
     from gslora_tpu.models.vit import init_vit_params
 
     model, lora, _ = _flagship_configs()
+    model = dataclasses.replace(model, head_type="Softmax")
+    lr = 1e-4
     bs = 480
     x = jax.random.normal(jax.random.key(1), (bs, 3, 112, 112), jnp.float32)
     y = (jnp.arange(bs, dtype=jnp.int32) % model.num_class)
     params = init_vit_params(jax.random.key(0), model, lora,
                              param_dtype=jnp.bfloat16)
-    opt = make_optimizer(OptimConfig(opt="adamw", lr=3e-4))
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=lr))
     out = {}
     for name, dt in [("fp32", jnp.float32), ("bf16", jnp.bfloat16)]:
         step = make_pretrain_step(model, lora, opt,
@@ -206,7 +217,7 @@ def run_numerics():
         s = PretrainState.create(params, opt)
         losses = []
         for i in range(5):
-            s, m = step(s, x, y, jnp.float32(3e-4), jax.random.key(100 + i))
+            s, m = step(s, x, y, jnp.float32(lr), jax.random.key(100 + i))
             losses.append(float(m["loss"]))
         out[name] = (losses, s.params)
     l32, p32 = out["fp32"]

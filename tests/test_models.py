@@ -215,9 +215,9 @@ def test_scan_unroll_preserves_forward_and_grads():
             rtol=1e-5, atol=1e-7, err_msg=jax.tree_util.keystr(p))
 
 
-@pytest.mark.parametrize("impl", ["bits16", "bits32"])
+@pytest.mark.parametrize("impl", ["bits16", "bits32", "bits8"])
 def test_bits_dropout_distribution_and_values(impl):
-    """dropout_impl="bits16"/"bits32" must behave as inverted dropout:
+    """dropout_impl="bits16"/"bits32"/"bits8" must behave as inverted dropout:
     outputs are exactly 0 or x/keep, keep-rate matches within
     quantization+sampling tolerance, deterministic under the same key,
     and the train forward stays dropout-active."""

@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import optax
 from flax import struct
 
@@ -43,8 +44,15 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     """timm-style optimizer factory (util/args.py --opt; adamw default).
     Wrapped in inject_hyperparams so the per-epoch LR (engine.schedule) can
     be written into opt_state as a traced scalar — no recompiles."""
+    # hyperparam_dtype MUST be pinned to fp32: inject_hyperparams otherwise
+    # casts the stored hyperparams to the params' dtype at update time, and
+    # with bfloat16 params b2=0.999 rounds to exactly 1.0 -> the Adam bias
+    # correction 1-b2^t is 0 -> division by zero -> every update NaN on the
+    # FIRST step (root-caused via perf_pretrain_lab --numerics, round 5;
+    # regression: tests/test_optimizer_parity.py::test_bf16_params_adamw).
     if cfg.opt == "adamw":
-        return optax.inject_hyperparams(optax.adamw)(
+        return optax.inject_hyperparams(
+            optax.adamw, hyperparam_dtype=jnp.float32)(
             learning_rate=cfg.lr, b1=cfg.betas[0], b2=cfg.betas[1],
             eps=cfg.opt_eps, weight_decay=cfg.weight_decay)
     # torch-style COUPLED weight decay for the non-adamw family: the decay
@@ -59,7 +67,11 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
                 return optax.chain(
                     optax.add_decayed_weights(cfg.weight_decay), inner)
             return inner
-        return optax.inject_hyperparams(factory)(learning_rate=cfg.lr)
+        # fp32 hyperparams for the same bf16-params reason as adamw above
+        # (adam's b2 lives inside the inner transform here, but the
+        # injected learning_rate would still round to bf16)
+        return optax.inject_hyperparams(
+            factory, hyperparam_dtype=jnp.float32)(learning_rate=cfg.lr)
 
     if cfg.opt == "adam":
         return _coupled(lambda lr: optax.adam(

@@ -105,3 +105,30 @@ def test_sgd_momentum_matches_torch():
         params = jax.tree.map(lambda p, u: p + u, params, updates)
     np.testing.assert_allclose(np.asarray(params["w"]),
                                tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_params_adamw_hyperparams_stay_fp32():
+    """inject_hyperparams casts its stored hyperparams to the params'
+    dtype at update time unless hyperparam_dtype is pinned — with bf16
+    params b2=0.999 rounds to exactly 1.0, the Adam bias correction
+    1-b2^t becomes 0, and EVERY update is NaN on the first step (found
+    by perf_pretrain_lab --numerics in round 5; the bf16-param configs
+    are the perf labs, bench.py's pretrain probe, and any
+    --param_dtype bfloat16 run)."""
+    params = {"w": jnp.ones((4,), jnp.bfloat16)}
+    grads = {"w": jnp.full((4,), 1e-3, jnp.bfloat16)}
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-4))
+    state = _with_lr(opt.init(params), jnp.float32(1e-4))
+    updates, state = opt.update(grads, state, params)
+    u = np.asarray(updates["w"], np.float32)
+    assert np.isfinite(u).all(), u
+    assert (np.abs(u) > 1e-6).all(), u  # a real first Adam step, not zeros
+    for name in ("b1", "b2", "eps"):
+        assert np.asarray(state.hyperparams[name]).dtype == np.float32
+    assert float(state.hyperparams["b2"]) < 1.0
+    # the coupled-decay family keeps its injected lr fp32 too
+    opt2 = make_optimizer(OptimConfig(opt="adam", lr=1e-4))
+    st2 = _with_lr(opt2.init(params), jnp.float32(1e-4))
+    upd2, st2 = opt2.update(grads, st2, params)
+    assert np.isfinite(np.asarray(upd2["w"], np.float32)).all()
+    assert np.asarray(st2.hyperparams["learning_rate"]).dtype == np.float32

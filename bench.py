@@ -69,6 +69,16 @@ PRETRAIN_GFLOP_PER_IMG = 23.9
 PRETRAIN_K = 10
 
 
+
+def _note(field: str, e: Exception) -> None:
+    """Best-effort bench fields are omitted on failure — but silently
+    losing one cost a round-5 session (the bf16-hyperparams optimizer fix
+    broke the pretrain probes and the JSON just shrank). One stderr line
+    keeps stdout pure-JSON while making the omission visible in the
+    driver's tail."""
+    import sys
+    print(f"bench: {field} skipped: {e!r}", file=sys.stderr)
+
 def _pretrain_ips(grad_accum: int = 1):
     """images/sec/chip of the jitted full-model pretrain step at b480.
 
@@ -220,8 +230,8 @@ def main():
                 (ma.argument_size_in_bytes + ma.temp_size_in_bytes +
                  ma.output_size_in_bytes - ma.alias_size_in_bytes) / 2**30,
                 2)
-    except Exception:
-        pass
+    except Exception as e:
+        _note("peak_hbm_gb", e)
     # opt-in --fast_math preset rate (bf16 LN + tanh GELU — the framework's
     # measured speed ceiling; parity-diverging, so NOT the headline).
     # Best-effort: omitted on any failure.
@@ -232,8 +242,8 @@ def main():
         fstate, fstep, fkeys = _forget_chain(fast_model, lora, fcfg)
         fast_ips = round(_time_chain(fstep, fstate, fkeys, 2 * bs)[0], 1)
         del fstate, fstep, fkeys
-    except Exception:
-        pass
+    except Exception as e:
+        _note("fast_math_ips", e)
     # pretrain rate (best-effort; frees the forget-bench buffers first so
     # the 15.5 GB b480 step has the chip to itself)
     pretrain_ips = None
@@ -242,8 +252,8 @@ def main():
         import gc
         gc.collect()
         pretrain_ips = round(_pretrain_ips(), 1)
-    except Exception:
-        pass
+    except Exception as e:
+        _note("pretrain_ips_b480", e)
     # serving (eval-forward) rates at each model's measured optimum batch
     # (round-5 slope re-measure, scripts/bench_inference.py: P8S8 b48
     # 12295 img/s = 60.7% of roof, B/16 b48 3156 = 68.8% — the old 8047/
@@ -266,8 +276,8 @@ def main():
         serving["serving_ips_b16"] = measure(
             ViTConfig.vit_b16(num_class=100), LoraConfig(rank=8), 48, 50,
             FWD_GFLOP["b16"])["images_per_sec"]
-    except Exception:
-        pass
+    except Exception as e:
+        _note("serving_ips", e)
     # the grad-accum BEST config at the same b480 (round-4 depth sweep:
     # ga20 = micro-batch 24 is the optimum, +70% over ga1 — the recipe
     # batch sits at the HBM ceiling and micro-24 is the per-pass geometry
@@ -275,8 +285,8 @@ def main():
     pretrain_ips_ga_best = None
     try:
         pretrain_ips_ga_best = round(_pretrain_ips(grad_accum=20), 1)
-    except Exception:
-        pass
+    except Exception as e:
+        _note("pretrain_ips_b480_ga20", e)
     print(json.dumps({
         "metric": "images_per_sec_per_chip_vit_p8s8_forget_finetune",
         "value": round(ips_per_chip, 2),

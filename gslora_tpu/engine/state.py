@@ -44,15 +44,23 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     """timm-style optimizer factory (util/args.py --opt; adamw default).
     Wrapped in inject_hyperparams so the per-epoch LR (engine.schedule) can
     be written into opt_state as a traced scalar — no recompiles."""
-    # hyperparam_dtype MUST be pinned to fp32: inject_hyperparams otherwise
-    # casts the stored hyperparams to the params' dtype at update time, and
-    # with bfloat16 params b2=0.999 rounds to exactly 1.0 -> the Adam bias
-    # correction 1-b2^t is 0 -> division by zero -> every update NaN on the
-    # FIRST step (root-caused via perf_pretrain_lab --numerics, round 5;
-    # regression: tests/test_optimizer_parity.py::test_bf16_params_adamw).
+    # Only learning_rate is actually scheduled, so everything else is
+    # static_args: inject_hyperparams otherwise stores b1/b2/eps as arrays
+    # and casts them to the params' dtype at update time — with bfloat16
+    # params b2=0.999 rounds to exactly 1.0 -> the Adam bias correction
+    # 1-b2^t is 0 -> division by zero -> every update NaN on the FIRST
+    # step (root-caused via perf_pretrain_lab --numerics, round 5;
+    # regression: tests/test_optimizer_parity.py::test_bf16_params_adamw*).
+    # Static python floats keep the moments in the params' dtype (no
+    # promotion — lax.scan chains carry the opt state, so moment dtypes
+    # must be update-stable) while hyperparam_dtype pins the injected lr
+    # to exact fp32 (updates promote to fp32; optax.apply_updates casts
+    # them back to the param dtype).
     if cfg.opt == "adamw":
         return optax.inject_hyperparams(
-            optax.adamw, hyperparam_dtype=jnp.float32)(
+            optax.adamw,
+            static_args=("b1", "b2", "eps", "eps_root", "weight_decay"),
+            hyperparam_dtype=jnp.float32)(
             learning_rate=cfg.lr, b1=cfg.betas[0], b2=cfg.betas[1],
             eps=cfg.opt_eps, weight_decay=cfg.weight_decay)
     # torch-style COUPLED weight decay for the non-adamw family: the decay

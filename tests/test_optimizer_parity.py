@@ -123,12 +123,50 @@ def test_bf16_params_adamw_hyperparams_stay_fp32():
     u = np.asarray(updates["w"], np.float32)
     assert np.isfinite(u).all(), u
     assert (np.abs(u) > 1e-6).all(), u  # a real first Adam step, not zeros
-    for name in ("b1", "b2", "eps"):
-        assert np.asarray(state.hyperparams[name]).dtype == np.float32
-    assert float(state.hyperparams["b2"]) < 1.0
+    # b1/b2/eps/weight_decay are static_args now — python floats baked
+    # into the transform, never arrays that inject_hyperparams could cast
+    assert set(state.hyperparams) == {"learning_rate"}
+    assert np.asarray(state.hyperparams["learning_rate"]).dtype == np.float32
     # the coupled-decay family keeps its injected lr fp32 too
     opt2 = make_optimizer(OptimConfig(opt="adam", lr=1e-4))
     st2 = _with_lr(opt2.init(params), jnp.float32(1e-4))
     upd2, st2 = opt2.update(grads, st2, params)
     assert np.isfinite(np.asarray(upd2["w"], np.float32)).all()
     assert np.asarray(st2.hyperparams["learning_rate"]).dtype == np.float32
+
+
+def test_bf16_params_adamw_scan_chain_stable():
+    """The bench/labs chain steps via lax.scan with the optimizer state
+    as carry: moment dtypes must be update-stable (an fp32-array b1 would
+    promote the bf16 moments to fp32 on the first update and break the
+    carry — the failure mode of the first round-5 fix attempt) and the
+    chained losses must stay finite."""
+    import jax.tree_util as jtu
+
+    from gslora_tpu.config import LoraConfig, ViTConfig
+    from gslora_tpu.engine.pretrain import PretrainState, make_pretrain_step
+    from gslora_tpu.models.vit import init_vit_params
+
+    cfg = ViTConfig(image_size=16, patch_size=8, dim=32, depth=2, heads=2,
+                    mlp_dim=64, num_class=6, head_type="Softmax")
+    lora = LoraConfig(rank=4)
+    params = init_vit_params(jax.random.key(0), cfg, lora,
+                             param_dtype=jnp.bfloat16)
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-4))
+    state = PretrainState.create(params, opt)
+    step = make_pretrain_step(cfg, lora, opt, compute_dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.key(1), (4, 3, 16, 16))
+    y = jnp.array([0, 1, 2, 3])
+
+    @jax.jit
+    def chain(s, keys):
+        def body(c, k):
+            c2, m = step(c, x, y, jnp.float32(1e-4), k)
+            return c2, m["loss"]
+        return jax.lax.scan(body, s, keys)
+
+    out, losses = chain(state, jax.random.split(jax.random.key(7), 3))
+    assert np.isfinite(np.asarray(losses, np.float32)).all(), losses
+    for (pa, a), (pb, b) in zip(jtu.tree_leaves_with_path(state),
+                                jtu.tree_leaves_with_path(out)):
+        assert a.dtype == b.dtype, (jtu.keystr(pa), a.dtype, b.dtype)

@@ -68,7 +68,8 @@ def make_distill_step(method: str, model: ViTConfig, lora: LoraConfig,
                       optimizer, hp: Dict[str, float],
                       compute_dtype=jnp.bfloat16,
                       faithful_zero_kd: bool = False,
-                      grad_accum: int = 1):
+                      grad_accum: int = 1,
+                      freeze: Optional[dict] = None):
     """step(state, teacher_params, xf, yf, xr, yr, xr2, yr2, lr, rng).
 
     ``grad_accum > 1`` microbatches all streams inside the jitted step.
@@ -228,6 +229,11 @@ def make_distill_step(method: str, model: ViTConfig, lora: LoraConfig,
                 state.params, teacher, xf, yf, xr, yr, xr2, yr2, rng)
         opt_state = _with_lr(state.opt_state, lr)
         updates, opt_state = optimizer.update(grads, opt_state, state.params)
+        if freeze is not None:
+            # the reference freezes the margin head in every baseline
+            # branch unless --ffn_open (cl.py:426; baselines/freeze.py)
+            from gslora_tpu.baselines.freeze import mask_updates
+            updates = mask_updates(updates, **freeze)
         params = optax.apply_updates(state.params, updates)
         return PretrainState(params=params, opt_state=opt_state,
                              step=state.step + 1), metrics
@@ -246,14 +252,15 @@ _HP_KEYS = {"lwf": ("T", "lambda_kd", "lambda_remain"),
 
 @step_cache
 def _cached_distill_step(method: str, model, lora, optim_cfg, hp_items,
-                         cdt, faithful: bool):
+                         cdt, faithful: bool, freeze_key: tuple = ()):
     """(optimizer, jitted step) cached per configuration (shared policy in
     engine.loop.step_cache). Keys are frozen dataclasses / scalars."""
     from gslora_tpu.engine.state import make_optimizer
     opt = make_optimizer(optim_cfg)
     step = make_distill_step(method, model, lora, opt, dict(hp_items),
                              compute_dtype=cdt, faithful_zero_kd=faithful,
-                             grad_accum=optim_cfg.grad_accum)
+                             grad_accum=optim_cfg.grad_accum,
+                             freeze=dict(freeze_key) if freeze_key else None)
     return opt, step
 
 
@@ -292,9 +299,11 @@ def run_distill_task(cfg: RunConfig, params, teacher_params,
     params = put_params(params)
     teacher_params = put_params(teacher_params)
     hp_key = {k: hp[k] for k in _HP_KEYS.get(method, tuple(hp))}
+    from gslora_tpu.baselines.freeze import freeze_flags
     opt, step = _cached_distill_step(method, cfg.model, cfg.lora, cfg.optim,
                                      tuple(sorted(hp_key.items())), cdt,
-                                     b.lwf_faithful_zero_kd)
+                                     b.lwf_faithful_zero_kd,
+                                     tuple(sorted(freeze_flags(cfg).items())))
     state = PretrainState.create(params, opt)
     eval_step = make_eval_step(cfg.model, cfg.lora, compute_dtype=cdt)
 

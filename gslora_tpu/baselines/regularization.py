@@ -12,8 +12,10 @@ closures train_own_forget_cl.py:1414-1692):
 * after each task: anchor current params + new importance appended
   (online mode replaces term 0).
 
-All params (base + LoRA if present) are trainable here — these baselines
-fine-tune the whole network.
+Trainable scope: the whole network EXCEPT the margin head, which every
+reference baseline branch freezes unless --ffn_open (cl.py:426; see
+baselines/freeze.py — round-5 parity fix). --only_ffn narrows it to the
+FFN Linears + head.
 """
 from __future__ import annotations
 
@@ -35,9 +37,15 @@ from gslora_tpu.models.vit import vit_apply
 
 
 def make_reg_step(model: ViTConfig, lora: LoraConfig, optimizer, n_terms: int,
-                  compute_dtype=jnp.bfloat16, grad_accum: int = 1):
+                  compute_dtype=jnp.bfloat16, grad_accum: int = 1,
+                  freeze: Optional[dict] = None):
     """step(state, x, y, anchors, importances, lam, lr, rng).
     anchors/importances are tuples of length n_terms (static).
+
+    ``freeze`` (baselines/freeze.freeze_flags): static mask kwargs — the
+    reference freezes the margin head in every baseline branch unless
+    --ffn_open (cl.py:426), realized here by zeroing the frozen leaves of
+    the update pytree (trajectory-identical to torch's grad=None skip).
 
     ``grad_accum > 1`` microbatches the batch inside the jitted step via
     engine.pretrain._accumulated — EXACT here because the loss is a
@@ -68,6 +76,9 @@ def make_reg_step(model: ViTConfig, lora: LoraConfig, optimizer, n_terms: int,
             grads, metrics = gfn(x, y, rng)
         opt_state = _with_lr(state.opt_state, lr)
         updates, opt_state = optimizer.update(grads, opt_state, state.params)
+        if freeze is not None:
+            from gslora_tpu.baselines.freeze import mask_updates
+            updates = mask_updates(updates, **freeze)
         params = optax.apply_updates(state.params, updates)
         return PretrainState(params=params, opt_state=opt_state,
                              step=state.step + 1), metrics
@@ -76,7 +87,8 @@ def make_reg_step(model: ViTConfig, lora: LoraConfig, optimizer, n_terms: int,
 
 
 @step_cache
-def _cached_reg_step(model, lora, optim_cfg, n_terms: int, cdt):
+def _cached_reg_step(model, lora, optim_cfg, n_terms: int, cdt,
+                     freeze_key: tuple = ()):
     """(optimizer, jitted step) cached per configuration (shared policy in
     engine.loop.step_cache): retrain/replay and same-n_terms tasks reuse
     the compiled step instead of paying a fresh XLA compile per task.
@@ -85,7 +97,8 @@ def _cached_reg_step(model, lora, optim_cfg, n_terms: int, cdt):
     from gslora_tpu.engine.state import make_optimizer
     opt = make_optimizer(optim_cfg)
     return opt, make_reg_step(model, lora, opt, n_terms, compute_dtype=cdt,
-                              grad_accum=optim_cfg.grad_accum)
+                              grad_accum=optim_cfg.grad_accum,
+                              freeze=dict(freeze_key) if freeze_key else None)
 
 
 def estimate_importance(method: str, params, batches, model: ViTConfig,
@@ -169,8 +182,10 @@ def run_regularization_task(cfg: RunConfig, params, train_loader_factory,
     params = put_params(params)
     anchors = [put_params(a) for a in anchors]
     importances = [put_params(i) for i in importances]
+    from gslora_tpu.baselines.freeze import freeze_flags
     opt, step = _cached_reg_step(cfg.model, cfg.lora, cfg.optim,
-                                 len(anchors), cdt)
+                                 len(anchors), cdt,
+                                 tuple(sorted(freeze_flags(cfg).items())))
     state = PretrainState.create(params, opt)
     eval_step = make_eval_step(cfg.model, cfg.lora, compute_dtype=cdt)
     anchors_t = tuple(anchors)

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from gslora_tpu.baselines.freeze import freeze_flags
 from gslora_tpu.config import LoraConfig, RunConfig, ViTConfig
 from gslora_tpu.engine.evaluate import eval_accuracy, h_mean, make_eval_step
 from gslora_tpu.engine.forget import _with_lr
@@ -60,7 +61,7 @@ def swa_update(swa_params, student_params, n_averaged: int,
 def make_scrub_steps(model: ViTConfig, lora: LoraConfig, optimizer,
                      kd_T: float, smoothing: float, gamma: float,
                      alpha: float, compute_dtype=jnp.bfloat16,
-                     grad_accum: int = 1):
+                     grad_accum: int = 1, freeze: Optional[dict] = None):
     """Returns (max_step, min_step), both jitted.
 
     ``grad_accum > 1`` microbatches both sgda passes inside the jitted
@@ -106,6 +107,12 @@ def make_scrub_steps(model: ViTConfig, lora: LoraConfig, optimizer,
             opt_state = _with_lr(state.opt_state, lr)
             updates, opt_state = optimizer.update(grads, opt_state,
                                                   state.params)
+            if freeze is not None:
+                # SCRUB rides the reference's CL-baseline branch, so the
+                # margin head is frozen there too (cl.py:425-427;
+                # baselines/freeze.py)
+                from gslora_tpu.baselines.freeze import mask_updates
+                updates = mask_updates(updates, **freeze)
             params = optax.apply_updates(state.params, updates)
             return PretrainState(params=params, opt_state=opt_state,
                                  step=state.step + 1), metrics
@@ -116,7 +123,7 @@ def make_scrub_steps(model: ViTConfig, lora: LoraConfig, optimizer,
 
 @step_cache
 def _cached_scrub_steps(model, lora, optim_cfg, kd_T, smoothing, gamma,
-                        alpha, cdt):
+                        alpha, cdt, freeze_key: tuple = ()):
     """(optimizer, max_step, min_step) cached per configuration (shared
     policy in engine.loop.step_cache) so a multi-task CL run re-uses the
     compiled steps (the reference re-creates only the optimizer per task,
@@ -126,7 +133,8 @@ def _cached_scrub_steps(model, lora, optim_cfg, kd_T, smoothing, gamma,
     opt = make_optimizer(optim_cfg)
     mx, mn = make_scrub_steps(model, lora, opt, kd_T, smoothing, gamma,
                               alpha, compute_dtype=cdt,
-                              grad_accum=optim_cfg.grad_accum)
+                              grad_accum=optim_cfg.grad_accum,
+                              freeze=dict(freeze_key) if freeze_key else None)
     return opt, mx, mn
 
 
@@ -174,7 +182,8 @@ def run_scrub_task(cfg: RunConfig, params, forget_loader_factory: Callable,
         OptimConfig(opt=b.sgda_optim, lr=b.sgda_learning_rate,
                     momentum=b.sgda_momentum,
                     weight_decay=b.sgda_weight_decay),
-        b.kd_T, b.sgda_smoothing, b.sgda_gamma, b.sgda_alpha, cdt)
+        b.kd_T, b.sgda_smoothing, b.sgda_gamma, b.sgda_alpha, cdt,
+        tuple(sorted(freeze_flags(cfg).items())))
     state = PretrainState.create(params, opt)
     teacher = put_params(teacher) if teacher is not None \
         else jax.tree.map(lambda x: x, params)  # frozen copy

@@ -110,7 +110,10 @@ def build_params(cfg: RunConfig, seed: Optional[int] = None):
             merged = dict(raw)
             merged["lora"] = params["lora"]
             return serialization.from_state_dict(params, merged)
-        return load_pytree(path, params)
+        # structures match: restore from the already-parsed bytes instead
+        # of load_pytree re-reading the file (a full-model checkpoint is
+        # hundreds of MB — one parse, not two)
+        return serialization.from_state_dict(params, raw)
     if cfg.net == "VIT_B16":
         from gslora_tpu.models.import_torch import load_torch_state_dict
         sd = load_torch_state_dict(path)

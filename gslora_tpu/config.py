@@ -286,6 +286,13 @@ class BaselineConfig:
     # LIRF
     lirf_T: float = 10.0
     lirf_alpha: float = 0.1
+    # reference baseline param freezing (baselines/freeze.py): the margin
+    # head ("loss" module) is FROZEN in every CL-baseline branch unless
+    # --ffn_open (train_own_forget_cl.py:426; default False), and
+    # --only_ffn inverts the default to train ONLY the FFN Linears + head
+    # (cl.py:432-439). imagenet100 freezes the class head unconditionally.
+    ffn_open: bool = False
+    only_ffn: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -499,6 +506,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--LIRF", action="store_true")
     p.add_argument("--LIRF_T", default=10.0, type=float)
     p.add_argument("--LIRF_alpha", default=0.1, type=float)
+    p.add_argument("--ffn_open", action="store_true",
+                   help="train the margin head in baseline runs (the "
+                        "reference freezes it by default, cl.py:426)")
+    p.add_argument("--only_ffn", action="store_true",
+                   help="baseline runs train ONLY the FFN Linears + head "
+                        "(reference cl.py:432-439)")
     # misc
     p.add_argument("--seed", default=1337, type=int)
     p.add_argument("--compute_dtype", default="bfloat16", type=str)
@@ -720,6 +733,8 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
             scrub_superepoch=args.SCRUB_superepoch, kd_T=args.kd_T,
             scrub_decay_epoch=args.scrub_decay_epoch,
             lirf_T=args.LIRF_T, lirf_alpha=args.LIRF_alpha,
+            ffn_open=getattr(args, "ffn_open", False),
+            only_ffn=getattr(args, "only_ffn", False),
         ),
         data=DataConfig(
             data_mode=args.data_mode,

@@ -67,13 +67,18 @@ class BatchLoader:
             lo, hi = local_bounds
             if not (0 <= lo < hi <= batch_size):
                 raise ValueError(f"local_bounds {local_bounds} not within "
-                                 f"[0, {batch_size})")
+                                 f"[0, {batch_size}]")
             if not (mask_padding or drop_last):
                 raise ValueError(
                     "local_bounds needs static global batches — enable "
                     "mask_padding (padded tail, -1 sentinel labels) or "
                     "drop_last")
         self.local_bounds = local_bounds
+        # announce the GLOBAL batch size so multi-host assembly can resolve
+        # un-annotated feeds — and reject a full-global-batch feed loudly
+        # (parallel/multihost.make_global_batch; single-process no-op)
+        from gslora_tpu.parallel.multihost import declare_global_batch
+        declare_global_batch(batch_size)
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle

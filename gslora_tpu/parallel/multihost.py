@@ -92,6 +92,37 @@ def blocks_to_bounds(global_batch: int, n_blocks: int,
     return bs[0] * per, (bs[-1] + 1) * per
 
 
+# Global batch sizes announced by BatchLoader construction (every loader
+# registers its GLOBAL batch size — a single-process no-op). On a pod,
+# make_global_batch resolves un-annotated feeds against this set, which
+# turns the classic single-process habit (feeding the FULL global batch
+# from every host) into an immediate error instead of a silently
+# duplicated 2x batch: a full feed's row count matches no declared
+# batch's per-process share (the share map B -> B*owned/n_blocks is
+# strictly increasing, so at most one declared size can match).
+_DECLARED_BATCHES: set = set()
+
+
+def declare_global_batch(n: int) -> None:
+    if n > 0:
+        _DECLARED_BATCHES.add(int(n))
+
+
+def _cached_by_mesh(fn):
+    """Per-(mesh, args) memo — the device->process scan and the
+    devices_indices_map cross-check are pure in the mesh but cost
+    Python-level work proportional to mesh size x batch, and put_batch
+    sits on the per-step data-feed hot path."""
+    import functools
+    return functools.lru_cache(maxsize=256)(fn)
+
+
+@_cached_by_mesh
+def _process_blocks(mesh) -> Dict[int, List[int]]:
+    proc = np.vectorize(lambda d: d.process_index)(mesh.devices)
+    return process_block_map(mesh.axis_names, proc)
+
+
 def host_batch_bounds(mesh, global_batch: int,
                       process_index: Optional[int] = None
                       ) -> Tuple[int, int]:
@@ -99,11 +130,16 @@ def host_batch_bounds(mesh, global_batch: int,
     mesh's device->process ownership. Cross-checked against JAX's own
     ``devices_indices_map`` (the authoritative sharding layout) so the
     pure math can never drift from what ``make_array_from_process_local_
-    data`` expects."""
+    data`` expects. Memoized per (mesh, batch, process)."""
     import jax
     pid = jax.process_index() if process_index is None else process_index
-    proc = np.vectorize(lambda d: d.process_index)(mesh.devices)
-    blocks = process_block_map(mesh.axis_names, proc).get(pid)
+    return _host_batch_bounds_cached(mesh, int(global_batch), pid)
+
+
+@_cached_by_mesh
+def _host_batch_bounds_cached(mesh, global_batch: int,
+                              pid: int) -> Tuple[int, int]:
+    blocks = _process_blocks(mesh).get(pid)
     if blocks is None:
         raise ValueError(f"process {pid} owns no devices in this mesh")
     n_blocks = int(np.prod([mesh.shape[a] for a in mesh.axis_names
@@ -134,19 +170,42 @@ def make_global_batch(mesh, local: np.ndarray,
 
     With ``global_batch`` given, a wrong-sized feed (e.g. the full global
     batch from every host — the single-process habit) raises with the
-    expected span. Without it, the global batch is inferred from the
-    local rows and this process's block share — an inference that cannot
-    distinguish "correct shard of batch B" from "full batch of B*P/owned";
-    the latter then hits the jitted step as a shape mismatch against its
-    compiled static batch (loud, but one step later). Feed loaders through
+    expected span. Without it, the global batch is resolved against the
+    sizes every BatchLoader declares at construction
+    (`declare_global_batch`): a correct process-sharded feed matches
+    exactly one declared size's per-process share, while a full-batch
+    feed matches none and raises IMMEDIATELY (the share map is strictly
+    increasing in the batch, so the match is unique). Only when nothing
+    was declared (hand-built arrays) does it fall back to the raw
+    share-ratio inference, which cannot distinguish "correct shard of
+    batch B" from "full batch of B*P/owned". Feed loaders through
     `process_sharded_loader` and the sizes are right by construction."""
     import jax
     sh = batch_sharding(mesh)
     n_blocks = int(np.prod([mesh.shape[a] for a in mesh.axis_names
                             if a in (DCN_AXIS, DATA_AXIS)]))
     pid = jax.process_index() if process_index is None else process_index
-    proc = np.vectorize(lambda d: d.process_index)(mesh.devices)
-    owned = process_block_map(mesh.axis_names, proc)[pid]
+    owned = _process_blocks(mesh)[pid]
+    if global_batch is None and len(owned) == n_blocks:
+        # this process owns every batch block (single-process world):
+        # the local feed IS the global batch, no resolution needed
+        global_batch = len(local)
+    if global_batch is None and _DECLARED_BATCHES:
+        share = len(owned) / n_blocks
+        matches = [b for b in _DECLARED_BATCHES
+                   if b * len(owned) % n_blocks == 0
+                   and b * len(owned) // n_blocks == len(local)]
+        if len(matches) == 1:
+            global_batch = matches[0]
+        else:
+            raise ValueError(
+                f"process {pid}'s feed of {len(local)} rows matches "
+                f"{'no' if not matches else 'several of'} the declared "
+                f"global batch sizes {sorted(_DECLARED_BATCHES)} at its "
+                f"{share:.3f} share — a full-global-batch feed from every "
+                f"host? Use process_sharded_loader / BatchLoader("
+                f"local_bounds=host_batch_bounds(mesh, B)) so each host "
+                f"decodes only its row span")
     if global_batch is None:
         if (len(local) * n_blocks) % len(owned) != 0:
             raise ValueError(

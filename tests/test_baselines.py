@@ -115,12 +115,15 @@ def test_ewc_penalty_protects_remain(setup):
     assert total > 0  # non-trivial importance on unsaturated model
 
     def run(lam):
-        # lr high enough that unregularized relabel training wrecks the
-        # whole model within the epoch budget
+        # lr/epochs high enough that unregularized relabel training wrecks
+        # the whole model within the budget — re-tuned for the round-5
+        # frozen-head default (cl.py:426 parity): with the head pinned the
+        # unprotected collapse needs more steps (16 ep lr 5e-2 ->
+        # unprotected ~17% vs protected ~50% on this toy)
         fl, _, tbf, tbr = _loaders(forget_tr, remain_tr, forget_te,
                                    remain_te)
         out = run_regularization_task(
-            _cfg("ewc", epochs=8, lr=3e-2), params, lambda: iter(fl),
+            _cfg("ewc", epochs=16, lr=5e-2), params, lambda: iter(fl),
             tbf, tbr, lam=lam, anchors=[params], importances=imps)
         return out["remain_acc"]
 
@@ -476,3 +479,72 @@ def test_lirf_step_grad_accum_matches(pad):
                     1e-4 * max(1.0, abs(float(ref[1][k]))), (k,)
             _assert_trees_close(ref[0].student_low, st.student_low,
                                 rtol=1e-4, atol=1e-6)
+
+
+def test_baseline_head_frozen_by_default(setup):
+    """Reference parity (round-5 fix, baselines/freeze.py): every CL
+    baseline branch freezes the margin head unless --ffn_open
+    (cl.py:426) — the head must be BIT-unchanged through reg/distill/
+    SCRUB steps by default, train under ffn_open, and --only_ffn must
+    narrow training to the FFN Linears + head."""
+    import dataclasses
+
+    from gslora_tpu.baselines.distill import make_distill_step
+    from gslora_tpu.baselines.regularization import make_reg_step
+    from gslora_tpu.baselines.scrub import make_scrub_steps
+    from gslora_tpu.engine.pretrain import PretrainState
+    from gslora_tpu.engine.state import make_optimizer
+
+    params = setup[0]
+    opt = make_optimizer(OptimConfig(opt="adamw", lr=1e-2))
+    x = jax.random.normal(jax.random.key(3), (8, 3, 16, 16))
+    y = jnp.arange(8, dtype=jnp.int32) % 6
+
+    def changed(a, b):
+        return {
+            "head": bool(jnp.any(a["base"]["head"]["weight"] !=
+                                 b["base"]["head"]["weight"])),
+            "fc1": bool(jnp.any(a["base"]["blocks"]["fc1"]["kernel"] !=
+                                b["base"]["blocks"]["fc1"]["kernel"])),
+            "qkv": bool(jnp.any(a["base"]["blocks"]["qkv"]["kernel"] !=
+                                b["base"]["blocks"]["qkv"]["kernel"])),
+        }
+
+    def run_reg(freeze):
+        step = make_reg_step(MODEL, LORA, opt, 0, compute_dtype=jnp.float32,
+                             freeze=freeze)
+        s = PretrainState.create(params, opt)
+        s, _ = step(s, x, y, (), (), jnp.float32(0.0), jnp.float32(1e-2),
+                    jax.random.key(0))
+        return changed(params, s.params)
+
+    # default: head frozen, backbone trains
+    c = run_reg({"ffn_open": False, "only_ffn": False, "imagenet": False})
+    assert c == {"head": False, "fc1": True, "qkv": True}, c
+    # --ffn_open: head trains
+    c = run_reg({"ffn_open": True, "only_ffn": False, "imagenet": False})
+    assert c == {"head": True, "fc1": True, "qkv": True}, c
+    # imagenet100 freezes the head unconditionally
+    c = run_reg({"ffn_open": True, "only_ffn": False, "imagenet": True})
+    assert c == {"head": False, "fc1": True, "qkv": True}, c
+    # --only_ffn: FFN Linears + head only
+    c = run_reg({"ffn_open": False, "only_ffn": True, "imagenet": False})
+    assert c == {"head": True, "fc1": True, "qkv": False}, c
+
+    # distill + SCRUB steps honor the same freeze
+    freeze = {"ffn_open": False, "only_ffn": False, "imagenet": False}
+    hp = {"T": 2.0, "lambda_kd": 0.5, "lambda_remain": 1.0}
+    dstep = make_distill_step("lwf", MODEL, LORA, opt, hp,
+                              compute_dtype=jnp.float32, freeze=freeze)
+    s = PretrainState.create(params, opt)
+    s, _ = dstep(s, params, x, y, x, y, x, y, jnp.float32(1e-2),
+                 jax.random.key(0))
+    c = changed(params, s.params)
+    assert c == {"head": False, "fc1": True, "qkv": True}, c
+
+    mx, _mn = make_scrub_steps(MODEL, LORA, opt, 2.0, 0.0, 0.99, 0.001,
+                               compute_dtype=jnp.float32, freeze=freeze)
+    s = PretrainState.create(params, opt)
+    s, _ = mx(s, params, params, x, y, jnp.float32(1e-2), jax.random.key(0))
+    c = changed(params, s.params)
+    assert c == {"head": False, "fc1": True, "qkv": True}, c

@@ -203,24 +203,39 @@ def test_make_global_batch_single_process_matches_device_put():
 def test_make_global_batch_guards_local_shape(monkeypatch):
     """On a pod, feeding the full global batch (the single-process habit)
     must raise with the expected row span — simulate a 2-process world by
-    patching the ownership the wrappers consult."""
+    patching the ownership the wrappers consult. The ownership maps and
+    bounds are lru_cached off the hot path, so each patch clears them."""
     from gslora_tpu.config import MeshConfig
     from gslora_tpu.parallel import multihost
     from gslora_tpu.parallel.mesh import make_mesh
     mesh = make_mesh(MeshConfig(data=4, model=2))
-    monkeypatch.setattr(multihost, "process_block_map",
-                        lambda names, proc: {0: [0, 1], 1: [2, 3]})
+
+    def patch_blocks(mapping):
+        monkeypatch.setattr(multihost, "process_block_map",
+                            lambda names, proc: mapping)
+        multihost._process_blocks.cache_clear()
+        multihost._host_batch_bounds_cached.cache_clear()
+
+    patch_blocks({0: [0, 1], 1: [2, 3]})
     monkeypatch.setattr(multihost, "host_batch_bounds",
                         lambda m, gb, process_index=None: (0, gb // 2))
     x = np.zeros((16, 3), np.float32)  # full batch; process 0 owns rows 0-7
     with pytest.raises(ValueError, match="must feed rows"):
         make_global_batch(mesh, x, process_index=0, global_batch=16)
-    # inference without explicit global_batch rejects impossible splits
+    # un-annotated feeds resolve against the loader-declared batch sizes:
+    # a full-global-batch feed matches no declared size's per-process
+    # share and raises IMMEDIATELY (the round-5 review-pass guard)
+    monkeypatch.setattr(multihost, "_DECLARED_BATCHES", {16})
+    with pytest.raises(ValueError, match="full-global-batch feed"):
+        make_global_batch(mesh, x, process_index=0)
+    # raw inference without any declarations rejects impossible splits
     # (16 local rows cannot be 3-of-4 blocks of any integer global batch)
-    monkeypatch.setattr(multihost, "process_block_map",
-                        lambda names, proc: {0: [0, 1, 2], 1: [3]})
+    monkeypatch.setattr(multihost, "_DECLARED_BATCHES", set())
+    patch_blocks({0: [0, 1, 2], 1: [3]})
     with pytest.raises(ValueError, match="integer global batch"):
         make_global_batch(mesh, x, process_index=0)
+    multihost._process_blocks.cache_clear()
+    multihost._host_batch_bounds_cached.cache_clear()
 
 
 def test_process_sharded_loader_single_process():
